@@ -1,0 +1,171 @@
+"""Matrix-free applications of the mixed-FEM operators on structured grids.
+
+Replaces the reference's global sparse matrices + SpMV (``/root/reference/src/NeutFEM.cpp``
+AssembleA/B/C + Eigen products) with stencil contractions:
+
+* ``apply_C``-style terms are elementwise (tensor-Legendre flux mass is diagonal),
+* ``apply_B`` / ``apply_BT`` are tiny einsums over (longitudinal-DOF, flux-mode,
+  transverse-mode) tensors plus shifted-slice neighbor sums,
+* ``solve_A`` is an exact per-direction solve: static condensation of bubble DOFs to a
+  face-tridiagonal system, then batched parallel Thomas (see tridiag.py).
+
+Axis convention: all arrays carry spatial dims (nz, ny, nx[+1]) immediately before the
+trailing mode dims, with arbitrary leading batch dims (usually the group axis).
+For direction ``d`` the spatial axis is ``di.axis - 4`` for arrays with one trailing mode
+dim (phi/faces), ``di.axis - 5`` with two (bubbles), ``di.axis - 3`` with none.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..fespace import DirectionInfo, FESpace
+from .tridiag import tridiag_solve
+
+__all__ = ["apply_BT_dir", "apply_B_dir", "solve_A_dir", "schur_matvec", "weighted_mass"]
+
+
+def _pad_zero(arr, axis: int, front: bool):
+    """Pad one zero slice along `axis` (negative axis ok)."""
+    ax = arr.ndim + axis if axis < 0 else axis
+    cfg = [(0, 0)] * arr.ndim
+    cfg[ax] = (1, 0) if front else (0, 1)
+    return jnp.pad(arr, cfg)
+
+
+def apply_BT_dir(fes: FESpace, di: DirectionInfo, phi):
+    """B_d^T phi: face rhs (..., n_d+1, T) and bubble rhs (..., n_d, nbub, T) or None."""
+    BX = jnp.asarray(di.BX, dtype=phi.dtype)
+    ax = di.axis - 4
+    c0 = jnp.einsum("...p,pt->...t", phi, BX[0])  # element's left-face row
+    c1 = jnp.einsum("...p,pt->...t", phi, BX[1])  # element's right-face row
+    rF = _pad_zero(c0, ax, front=False) + _pad_zero(c1, ax, front=True)
+    rW = None
+    if fes.et.nbub > 0:
+        rW = jnp.einsum("...p,lpt->...lt", phi, BX[2:])
+    return rF, rW
+
+
+def apply_B_dir(fes: FESpace, di: DirectionInfo, F, W):
+    """B_d J: phi-shaped (..., P) contribution from direction d."""
+    BX = jnp.asarray(di.BX, dtype=F.dtype)
+    ax = di.axis - 4
+    n = F.shape[ax]
+    F_L = lax.slice_in_dim(F, 0, n - 1, axis=ax)  # per-element left face value
+    F_R = lax.slice_in_dim(F, 1, n, axis=ax)
+    out = jnp.einsum("...t,pt->...p", F_L, BX[0]) + jnp.einsum("...t,pt->...p", F_R, BX[1])
+    if W is not None:
+        out = out + jnp.einsum("...lt,lpt->...p", W, BX[2:])
+    return out
+
+
+def solve_A_dir(
+    fes: FESpace,
+    di: DirectionInfo,
+    dinv,
+    l,
+    mask,
+    alpha,
+    rF,
+    rW,
+    lumped: bool,
+):
+    """Exact solve of the per-direction RT mass block A_d J = r.
+
+    dinv, l : tridiagonal factors over faces (batch..., face_shape); l is None if lumped.
+    mask    : (face_shape) 1.0 for free faces, 0.0 for pinned (MIRROR / inactive).
+    alpha   : (batch..., nz, ny, nx) element coefficient factor_d / D.
+    Returns (F, W) face and bubble solutions.
+    """
+    et = fes.et
+    ax = di.axis - 4
+    m_t = jnp.asarray(di.m_t, dtype=rF.dtype)
+
+    if rW is not None:
+        GT = jnp.asarray(et.G.T, dtype=rF.dtype)  # (2, nbub) = M_fb M_bb^-1
+        corr = jnp.einsum("fb,...bt->...ft", GT, rW)  # (..., nz,ny,nx, 2, T)
+        corr0 = corr[..., 0, :]
+        corr1 = corr[..., 1, :]
+        rF = rF - _pad_zero(corr0, ax, front=False) - _pad_zero(corr1, ax, front=True)
+
+    rF = rF * mask[..., None]
+    rFs = rF / m_t
+    if lumped:
+        F = rFs * dinv[..., None]
+    else:
+        F = tridiag_solve(rFs, dinv[..., None], l[..., None], axis=ax)
+    F = F * mask[..., None]
+
+    W = None
+    if rW is not None:
+        Mbb_inv = jnp.asarray(et.Mbb_inv, dtype=rF.dtype)
+        G = jnp.asarray(et.G, dtype=rF.dtype)
+        n = F.shape[ax]
+        F_loc = jnp.stack(
+            [lax.slice_in_dim(F, 0, n - 1, axis=ax), lax.slice_in_dim(F, 1, n, axis=ax)],
+            axis=-2,
+        )  # (..., 2, T)
+        W = jnp.einsum("bc,...ct->...bt", Mbb_inv, rW) / (alpha[..., None, None] * m_t)
+        W = W - jnp.einsum("bf,...ft->...bt", G, F_loc)
+    return F, W
+
+
+def solve_A(fes: FESpace, ctx: Dict, rhs_by_dir, lumped: bool):
+    """Apply A^{-1} to per-direction rhs dict {f"d{d}": (rF, rW)} -> same structure."""
+    out = {}
+    for di in fes.dirs:
+        key = f"d{di.d}"
+        rF, rW = rhs_by_dir[key]
+        F, W = solve_A_dir(
+            fes,
+            di,
+            ctx[f"tri_dinv_{key}"],
+            ctx.get(f"tri_l_{key}"),
+            ctx[f"mask_{key}"],
+            ctx[f"alpha_{key}"],
+            rF,
+            rW,
+            lumped,
+        )
+        out[key] = (F, W)
+    return out
+
+
+def schur_matvec(fes: FESpace, ctx: Dict, v, lumped: bool):
+    """S v = C v + sum_d B_d A_d^{-1} B_d^T v   (matrix-free Schur complement).
+
+    Mirrors the reference's implicit SchurProduct (solvers.cpp:535-547) but with an
+    exact, batched A-solve instead of a global LU backsolve.
+    `v` and the ctx arrays must agree in leading batch dims (all groups or one group).
+    """
+    out = ctx["C"] * v
+    for di in fes.dirs:
+        key = f"d{di.d}"
+        rF, rW = apply_BT_dir(fes, di, v)
+        F, W = solve_A_dir(
+            fes,
+            di,
+            ctx[f"tri_dinv_{key}"],
+            ctx.get(f"tri_l_{key}"),
+            ctx[f"mask_{key}"],
+            ctx[f"alpha_{key}"],
+            rF,
+            rW,
+            lumped,
+        )
+        out = out + apply_B_dir(fes, di, F, W)
+    return out
+
+
+def weighted_mass(fes: FESpace, coeff, detJ, w_mode, phi):
+    """(coeff-weighted mass) @ phi — diagonal in the tensor-Legendre basis.
+
+    coeff: (..., nz, ny, nx) per-element coefficient (e.g. nu-Sigma_f);
+    returns coeff * detJ * w_mode * phi, the exact weighted mass product
+    (reference AssembleWeightedMassMatrix / AssembleFissionMatrix, NeutFEM.cpp:1204-1252).
+    """
+    return (coeff * detJ)[..., None] * (w_mode * phi)

@@ -1,0 +1,165 @@
+"""Build the device-side operator context ("BuildMatrices" equivalent).
+
+The reference assembles global CSR matrices per group (NeutFEM.cpp:402-457).  Here the
+"matrices" are a handful of dense grids:
+
+* ``C``            (ng, nz, ny, nx, P): diagonal removal term Sigma_r * detJ * w_mode
+* ``alpha_d{d}``   (ng, nz, ny, nx): per-element RT mass coefficient factor_d / D_g,
+                   with the contravariant-Piola scaling factor_d = jac_d^2 / detJ
+                   (= hx/2 in 1D, hx/hy in 2D, 2hx/(hy hz) in 3D for d=x).
+* ``tri_dinv_d{d}``, ``tri_l_d{d}``: LDL^T factors of the condensed face-tridiagonal
+  A-blocks (per group, per direction), built once — this removes the reference's
+  per-solve re-factorization defect (NeutFEM.cpp:2094-2097).
+* ``mask_d{d}``    boundary-face pin mask (MIRROR / NEUMANN-0 essential conditions).
+* ``precond``      (ng, nz, ny, nx, P): inverse of a lumped diag(S) estimate — the
+  TPU-native role of the reference's "diagonal Schur" formula
+  S_ee = C_ee + sum_f B_ef^2 / A_ff  (NeutFEM.cpp:459-473), used as a Jacobi
+  preconditioner for the Schur CG.
+
+All computations here are host-side numpy (build time); results are device arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bc import BCKind, BCSpec
+from ..fespace import FESpace
+from ..mesh import boundary_attribute
+
+__all__ = ["build_context"]
+
+
+def _axslice(ndim: int, axis: int, s) -> tuple:
+    out = [slice(None)] * ndim
+    out[axis] = s
+    return tuple(out)
+
+
+def build_context(
+    fes: FESpace,
+    ng: int,
+    xs: Dict[str, np.ndarray],
+    bcs: BCSpec,
+    lumped: bool,
+    dtype,
+    marshak_d_factor: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    mesh = fes.mesh
+    et = fes.et
+    if lumped and et.k != 0:
+        raise ValueError("lumped (diagonal) A-solve is only defined for RT0")
+
+    detJ = mesh.det_jac()  # (nz, ny, nx)
+    w_mode = fes.w_mode  # (P,)
+    D = np.asarray(xs["D"], dtype=np.float64)
+    SigR = np.asarray(xs["SigR"], dtype=np.float64)
+
+    C = SigR[..., None] * detJ[None, ..., None] * w_mode  # (ng, nz, ny, nx, P)
+
+    if lumped:
+        K = np.diag(et.M1_lumped[:2])  # row-sum lumping -> mesh-centered finite difference
+    else:
+        K = et.K
+
+    ctx_np: Dict[str, np.ndarray] = {"C": C}
+    pre = C.copy()
+
+    jacs = [mesh.h_grid(a) / 2.0 for a in range(3)]  # fake axes: h=2 -> jac=1
+
+    for di in fes.dirs:
+        d, ax = di.d, di.axis  # ax in (nz, ny, nx) order
+        key = f"d{d}"
+        factor = jacs[d] ** 2 / detJ  # (nz, ny, nx)
+        alpha = factor[None] / D  # (ng, nz, ny, nx)
+
+        fshape = (ng, *di.face_shape)
+        fax = 1 + ax  # face axis within (ng, *face_shape)
+        diag = np.zeros(fshape)
+        n_faces = di.face_shape[ax]
+        # element e contributes K00 to its left face (index e) and K11 to its right (e+1)
+        diag[_axslice(4, fax, slice(0, n_faces - 1))] += alpha * K[0, 0]
+        diag[_axslice(4, fax, slice(1, n_faces))] += alpha * K[1, 1]
+        offd = alpha * K[0, 1]  # (ng, nz, ny, nx): coupling between faces e and e+1
+
+        mask = np.ones(di.face_shape)
+
+        # --- boundary conditions on the two ends of this direction ---------
+        tr_axes = [a for a in range(3) if a != d and mesh.active(a)]
+        n_tr = len(tr_axes)
+        fa = np.ones(mesh.shape)
+        for a in tr_axes:
+            fa = fa * mesh.h_grid(a)  # physical face area, broadcast over cells
+
+        for upper in (False, True):
+            attr = boundary_attribute(mesh.dim, d, upper)
+            kind = bcs.kind(attr)
+            f_idx = n_faces - 1 if upper else 0
+            e_idx = -1 if upper else 0
+            face_sl = _axslice(4, fax, f_idx)  # boundary faces (ng, transverse shape)
+            elem_sl = _axslice(4, fax, e_idx)  # boundary elements of (ng, nz, ny, nx)
+            fa_b = fa[_axslice(3, ax, e_idx)]  # (transverse shape)
+
+            if kind in (BCKind.DIRICHLET, BCKind.ROBIN):
+                if kind == BCKind.DIRICHLET:
+                    # Marshak vacuum: phi_b = 2 (J.n).  G_ff = 2^{n_tr} m_t / fa; in
+                    # per-mode base units (A_t = m_t * A_base) the addition is
+                    # t-independent: 2 * 2^{n_tr} / fa.
+                    c = 2.0 * np.ones((ng,) + fa_b.shape)
+                    if marshak_d_factor:
+                        c = c * D[elem_sl]  # reference bug-compat (NeutFEM.cpp:1350)
+                else:
+                    c = bcs.robin_beta / (bcs.robin_alpha * D[elem_sl])
+                diag[face_sl] += c * (2.0**n_tr) / fa_b
+            elif kind in (BCKind.MIRROR, BCKind.NEUMANN):
+                if kind == BCKind.NEUMANN and abs(bcs.value(attr)) > 0:
+                    raise NotImplementedError("nonzero NEUMANN current not yet supported")
+                mask[_axslice(3, ax, f_idx)] = 0.0
+                diag[face_sl] = 1.0
+                offd[_axslice(4, fax, -1 if upper else 0)] = 0.0
+            elif kind == BCKind.PERIODIC:
+                raise NotImplementedError("PERIODIC boundary conditions not yet supported")
+            # BCKind.NONE: natural => zero boundary flux, no term (reference default)
+
+        # --- LDL^T factorization along the face axis (host, once) ----------
+        if lumped:
+            dinv = 1.0 / diag
+            l = None
+        else:
+            dd = np.moveaxis(diag, fax, 0).copy()  # (n_faces, ...)
+            bb = np.moveaxis(offd, fax, 0)  # (n_faces - 1, ...)
+            ll = np.zeros_like(bb)
+            for i in range(n_faces - 1):
+                ll[i] = bb[i] / dd[i]
+                dd[i + 1] = dd[i + 1] - bb[i] * ll[i]
+            dinv = np.moveaxis(1.0 / dd, 0, fax)
+            l = np.moveaxis(ll, 0, fax)
+
+        ctx_np[f"alpha_{key}"] = alpha
+        ctx_np[f"tri_dinv_{key}"] = dinv
+        if l is not None:
+            ctx_np[f"tri_l_{key}"] = l
+        ctx_np[f"mask_{key}"] = mask
+
+        # --- Jacobi diag(S) estimate (generalized diagonal-Schur formula) ---
+        inv_diag = 1.0 / diag
+        left = inv_diag[_axslice(4, fax, slice(0, n_faces - 1))]
+        right = inv_diag[_axslice(4, fax, slice(1, n_faces))]
+        m_t_of_p = di.m_t[di.p_to_t]  # (P,)
+        pd = fes.modes[:, d]
+        coefL = (et.D1[pd, 0] ** 2) * m_t_of_p
+        coefR = (et.D1[pd, 1] ** 2) * m_t_of_p
+        pre += left[..., None] * coefL + right[..., None] * coefR
+
+    ctx_np["precond_inv"] = 1.0 / pre
+    ctx_np["detJ"] = detJ
+    ctx_np["w_mode"] = w_mode
+    ctx_np["nsf"] = np.asarray(xs["NSF"], dtype=np.float64)
+    ctx_np["chi"] = np.asarray(xs["Chi"], dtype=np.float64)
+    ctx_np["sigs"] = np.asarray(xs["SigS"], dtype=np.float64)
+    ctx_np["src"] = np.asarray(xs["SRC"], dtype=np.float64)
+
+    return {k: jnp.asarray(v, dtype=dtype) for k, v in ctx_np.items()}

@@ -1,0 +1,193 @@
+"""Stencil operators vs the independent dense quadrature oracle.
+
+Verifies, for a grid of (dim, k, m, BC) configurations with random heterogeneous
+cross-sections and non-uniform meshes:
+
+* solve_A (condensed tridiagonal) against dense inv(A),
+* the full matrix-free Schur matvec against the dense S = C + B A^-1 B^T.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from neutfem_tpu import config
+from neutfem_tpu.bc import BCKind, BCSpec
+from neutfem_tpu.fespace import make_fespace
+from neutfem_tpu.mesh import CartesianMesh, boundary_attribute
+from neutfem_tpu.ops.apply import apply_B_dir, apply_BT_dir, schur_matvec, solve_A_dir
+from neutfem_tpu.ops.context import build_context
+
+from oracle import DenseOracle
+
+DT = config.real_dtype
+
+
+def make_problem(dim, k, m, bc_kind, seed=0, lumped=False):
+    rng = np.random.default_rng(seed)
+
+    def breaks(n):
+        return np.concatenate([[0.0], np.cumsum(rng.uniform(0.7, 1.5, n))])
+
+    if dim == 1:
+        mesh = CartesianMesh.from_breaks(breaks(6))
+    elif dim == 2:
+        mesh = CartesianMesh.from_breaks(breaks(4), breaks(3))
+    else:
+        mesh = CartesianMesh.from_breaks(breaks(3), breaks(3), breaks(2))
+
+    fes = make_fespace(mesh, k, m)
+    ng = 2
+    xs = {
+        "D": rng.uniform(0.3, 2.0, (ng, *mesh.shape)),
+        "SigR": rng.uniform(0.01, 0.2, (ng, *mesh.shape)),
+        "NSF": rng.uniform(0.0, 0.2, (ng, *mesh.shape)),
+        "Chi": np.zeros((ng, *mesh.shape)),
+        "SigS": rng.uniform(0, 0.05, (ng, ng, *mesh.shape)),
+        "SRC": np.zeros((ng, *mesh.shape)),
+    }
+    xs["Chi"][0] = 1.0
+
+    bcs = BCSpec()
+    for ax in range(3):
+        if mesh.active(ax):
+            for upper in (False, True):
+                attr = boundary_attribute(mesh.dim, ax, upper)
+                bcs.set(attr, bc_kind)
+    if bc_kind == BCKind.MIRROR:
+        # all-mirror makes A singular-free but S singular only w/o removal; keep one
+        # vacuum side so the Schur operator is invertible.
+        bcs.set(boundary_attribute(mesh.dim, 0, True), BCKind.DIRICHLET)
+
+    ctx = build_context(fes, ng, xs, bcs, lumped=lumped, dtype=DT)
+    oracle = DenseOracle(fes, ng, xs, bcs)
+    return mesh, fes, ng, ctx, oracle
+
+
+CASES = [
+    (1, 0, 0, BCKind.DIRICHLET),
+    (1, 1, 1, BCKind.DIRICHLET),
+    (1, 2, 1, BCKind.MIRROR),
+    (2, 0, 0, BCKind.DIRICHLET),
+    (2, 0, 0, BCKind.MIRROR),
+    (2, 1, 0, BCKind.DIRICHLET),
+    (2, 1, 1, BCKind.DIRICHLET),
+    (2, 2, 2, BCKind.MIRROR),
+    (3, 0, 0, BCKind.DIRICHLET),
+    (3, 1, 1, BCKind.DIRICHLET),
+]
+
+
+@pytest.mark.parametrize("dim,k,m,bc", CASES)
+def test_solve_A_matches_dense(dim, k, m, bc):
+    mesh, fes, ng, ctx, oracle = make_problem(dim, k, m, bc)
+    rng = np.random.default_rng(7)
+    g = 1
+
+    # random J-space rhs, zeroed at pinned dofs
+    r_flat = rng.normal(size=oracle.n_J)
+    r_flat[oracle.pinned] = 0.0
+    r_state = oracle.flat_to_J(r_flat)
+
+    sol = {}
+    for di in fes.dirs:
+        key = f"d{di.d}"
+        rF, rW = r_state[key]
+        rF = jnp.asarray(rF, dtype=DT)[None]
+        rWj = None if rW is None else jnp.asarray(rW, dtype=DT)[None]
+        F, W = solve_A_dir(
+            fes,
+            di,
+            ctx[f"tri_dinv_{key}"][g][None],
+            None if f"tri_l_{key}" not in ctx else ctx[f"tri_l_{key}"][g][None],
+            ctx[f"mask_{key}"],
+            ctx[f"alpha_{key}"][g][None],
+            rF,
+            rWj,
+            lumped=False,
+        )
+        sol[key] = (np.asarray(F[0]), None if W is None else np.asarray(W[0]))
+
+    x_flat = oracle.J_to_flat(sol)
+    expect = np.linalg.solve(oracle.A[g], r_flat)
+    np.testing.assert_allclose(x_flat, expect, rtol=1e-8, atol=1e-9)
+
+
+@pytest.mark.parametrize("dim,k,m,bc", CASES)
+def test_schur_matvec_matches_dense(dim, k, m, bc):
+    mesh, fes, ng, ctx, oracle = make_problem(dim, k, m, bc)
+    rng = np.random.default_rng(3)
+
+    v = rng.normal(size=(ng, *mesh.shape, fes.P))
+    out = np.asarray(schur_matvec(fes, ctx, jnp.asarray(v, dtype=DT), lumped=False))
+
+    for g in range(ng):
+        S = oracle.schur(g)
+        expect = S @ oracle.phi_to_flat(v[g])
+        np.testing.assert_allclose(
+            oracle.phi_to_flat(out[g]), expect, rtol=1e-8, atol=1e-9
+        )
+
+
+def test_bt_b_adjoint_consistency():
+    """B and B^T stencils must be exact transposes of each other."""
+    mesh, fes, ng, ctx, oracle = make_problem(3, 1, 1, BCKind.DIRICHLET)
+    rng = np.random.default_rng(11)
+    phi = jnp.asarray(rng.normal(size=(*mesh.shape, fes.P)), dtype=DT)
+
+    total = 0.0
+    total_T = 0.0
+    for di in fes.dirs:
+        rF, rW = apply_BT_dir(fes, di, phi)
+        F = jnp.asarray(rng.normal(size=rF.shape), dtype=DT)
+        W = None if rW is None else jnp.asarray(rng.normal(size=rW.shape), dtype=DT)
+        out = apply_B_dir(fes, di, F, W)
+        # <B J, phi> == <J, B^T phi>
+        total += float(jnp.vdot(out, phi))
+        total_T += float(jnp.vdot(F, rF) + (0.0 if W is None else jnp.vdot(W, rW)))
+    np.testing.assert_allclose(total, total_T, rtol=1e-12)
+
+
+def test_lumped_rt0_is_mesh_centered_fd():
+    """Row-sum lumped RT0-P0 must equal the classic mesh-centered finite difference."""
+    rng = np.random.default_rng(5)
+    n = 6
+    hx = rng.uniform(0.5, 2.0, n)
+    mesh = CartesianMesh.from_breaks(np.concatenate([[0.0], np.cumsum(hx)]))
+    fes = make_fespace(mesh, 0, 0)
+    ng = 1
+    D = rng.uniform(0.3, 2.0, (1, 1, 1, n))
+    SigR = rng.uniform(0.01, 0.2, (1, 1, 1, n))
+    xs = {
+        "D": D,
+        "SigR": SigR,
+        "NSF": np.zeros((1, 1, 1, n)),
+        "Chi": np.zeros((1, 1, 1, n)),
+        "SigS": np.zeros((1, 1, 1, 1, n)),
+        "SRC": np.zeros((1, 1, 1, n)),
+    }
+    bcs = BCSpec()
+    bcs.set(1, BCKind.DIRICHLET)
+    bcs.set(2, BCKind.DIRICHLET)
+    ctx = build_context(fes, ng, xs, bcs, lumped=True, dtype=DT)
+
+    # dense FD matrix
+    d = D[0, 0, 0]
+    sig = SigR[0, 0, 0]
+    W = np.zeros(n + 1)  # face conductances
+    for f in range(1, n):
+        W[f] = 1.0 / (hx[f - 1] / (2 * d[f - 1]) + hx[f] / (2 * d[f]))
+    W[0] = 1.0 / (hx[0] / (2 * d[0]) + 2.0)  # Marshak: + 1/2 incoming coefficient
+    W[n] = 1.0 / (hx[n - 1] / (2 * d[n - 1]) + 2.0)
+    S = np.zeros((n, n))
+    for e in range(n):
+        S[e, e] = sig[e] * hx[e] + W[e] + W[e + 1]
+        if e > 0:
+            S[e, e - 1] = -W[e]
+        if e < n - 1:
+            S[e, e + 1] = -W[e + 1]
+
+    v = rng.normal(size=(1, 1, 1, n, 1))
+    out = np.asarray(schur_matvec(fes, ctx, jnp.asarray(v, dtype=DT), lumped=True))
+    np.testing.assert_allclose(out[0, 0, 0, :, 0], S @ v[0, 0, 0, :, 0], rtol=1e-10)
