@@ -1,0 +1,185 @@
+"""Power-iteration eigensolver tests: dense-oracle eigenvalues and analytic slabs."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+import jax.numpy as jnp
+
+from neutfem_tpu import config
+from neutfem_tpu.bc import BCKind, BCSpec
+from neutfem_tpu.fespace import make_fespace
+from neutfem_tpu.mesh import CartesianMesh, boundary_attribute
+from neutfem_tpu.ops.context import build_context
+from neutfem_tpu.power import SolveOptions, power_iteration
+
+from oracle import DenseOracle
+
+DT = config.real_dtype
+
+
+def dense_keff(oracle, xs, ng):
+    """Reference eigenvalue from the dense oracle matrices: max eig of H^-1 F."""
+    fes = oracle.fes
+    n = oracle.n_phi
+    detJ = oracle.mesh.det_jac()
+    w_mode = fes.w_mode
+
+    def wmass(coeff):
+        d = (coeff[..., None] * detJ[..., None] * w_mode).reshape(-1)
+        return np.diag(d)
+
+    H = np.zeros((ng * n, ng * n))
+    F = np.zeros((ng * n, ng * n))
+    for g in range(ng):
+        H[g * n : (g + 1) * n, g * n : (g + 1) * n] = oracle.schur(g)
+        chi_g = np.repeat(np.asarray(xs["Chi"][g]).reshape(-1), fes.P)
+        for gp in range(ng):
+            if gp != g:
+                H[g * n : (g + 1) * n, gp * n : (gp + 1) * n] -= wmass(xs["SigS"][g, gp])
+            F[g * n : (g + 1) * n, gp * n : (gp + 1) * n] = chi_g[:, None] * wmass(
+                xs["NSF"][gp]
+            )
+    vals = scipy.linalg.eigvals(np.linalg.solve(H, F))
+    return float(np.max(vals.real))
+
+
+def build_2d_problem(nx=6, ny=5, k=0, m=0, seed=1):
+    rng = np.random.default_rng(seed)
+    mesh = CartesianMesh.from_breaks(
+        np.linspace(0, nx * 1.7, nx + 1), np.linspace(0, ny * 2.1, ny + 1)
+    )
+    fes = make_fespace(mesh, k, m)
+    ng = 2
+    xs = {
+        "D": np.stack([np.full(mesh.shape, 1.4), np.full(mesh.shape, 0.4)]),
+        "SigR": np.stack(
+            [rng.uniform(0.025, 0.035, mesh.shape), rng.uniform(0.08, 0.12, mesh.shape)]
+        ),
+        "NSF": np.stack([np.zeros(mesh.shape), rng.uniform(0.1, 0.15, mesh.shape)]),
+        "Chi": np.stack([np.ones(mesh.shape), np.zeros(mesh.shape)]),
+        "SigS": np.zeros((ng, ng, *mesh.shape)),
+        "SRC": np.zeros((ng, *mesh.shape)),
+    }
+    xs["SigS"][1, 0] = 0.02  # downscatter 1 -> 2
+    bcs = BCSpec()
+    for ax in (0, 1):
+        for upper in (False, True):
+            bcs.set(boundary_attribute(2, ax, upper), BCKind.DIRICHLET)
+    return mesh, fes, ng, xs, bcs
+
+
+@pytest.mark.parametrize("accel", ["none", "chebyshev", "anderson"])
+def test_keff_matches_dense_eig_2d_rt0(accel):
+    mesh, fes, ng, xs, bcs = build_2d_problem()
+    ctx = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+    oracle = DenseOracle(fes, ng, xs, bcs)
+    k_ref = dense_keff(oracle, xs, ng)
+
+    opts = SolveOptions(tol_keff=1e-10, tol_flux=1e-8, inner_tol=1e-12, accel=accel)
+    phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
+    res = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
+    assert abs(float(res["keff"]) - k_ref) < 5e-9, (float(res["keff"]), k_ref)
+    assert int(res["outer_iterations"]) < 200
+
+
+def test_keff_matches_dense_eig_2d_rt1():
+    mesh, fes, ng, xs, bcs = build_2d_problem(nx=4, ny=4, k=1, m=1)
+    ctx = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+    oracle = DenseOracle(fes, ng, xs, bcs)
+    k_ref = dense_keff(oracle, xs, ng)
+
+    opts = SolveOptions(tol_keff=1e-10, tol_flux=1e-8, inner_tol=1e-12)
+    phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
+    res = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
+    assert abs(float(res["keff"]) - k_ref) < 5e-9
+
+
+def test_lumped_matches_dense_fd_eig():
+    mesh, fes, ng, xs, bcs = build_2d_problem()
+    ctx = build_context(fes, ng, xs, bcs, lumped=True, dtype=DT)
+    opts = SolveOptions(tol_keff=1e-10, tol_flux=1e-8, inner_tol=1e-12, lumped=True)
+    phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
+    res = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
+    # lumped (FD) eigenvalue must be close to, but distinct from, the consistent one
+    ctx2 = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+    res2 = power_iteration(fes, ng, SolveOptions(tol_keff=1e-10, tol_flux=1e-8,
+                                                 inner_tol=1e-12), ctx2, phi0, 1.0)
+    assert abs(float(res["keff"]) - float(res2["keff"])) < 0.05
+    assert float(res["keff"]) > 0.1
+
+
+def analytic_marshak_keff(D, SigR, NSF, L):
+    """1-group bare slab with Marshak vacuum: k = nuSigf / (SigR + D B^2),
+    where B solves  cot(B L / 2) = 2 D B  (extrapolation length 2D)."""
+    from scipy.optimize import brentq
+
+    f = lambda B: 1.0 / np.tan(B * L / 2.0) - 2.0 * D * B
+    B = brentq(f, 1e-6, np.pi / L * 0.9999)
+    return NSF / (SigR + D * B * B)
+
+
+def test_1d_slab_analytic_convergence():
+    """RT0-P0 and RT1-P1 k-eff must converge to the analytic Marshak slab value."""
+    D, SigR, NSF, L = 1.2, 0.03, 0.04, 60.0
+    k_exact = analytic_marshak_keff(D, SigR, NSF, L)
+
+    errs = {}
+    for order, n in [((0, 0), 40), ((0, 0), 80), ((1, 1), 40)]:
+        mesh = CartesianMesh.from_breaks(np.linspace(0, L, n + 1))
+        fes = make_fespace(mesh, *order)
+        ng = 1
+        sh = (ng, *mesh.shape)
+        xs = {
+            "D": np.full(sh, D),
+            "SigR": np.full(sh, SigR),
+            "NSF": np.full(sh, NSF),
+            "Chi": np.ones(sh),
+            "SigS": np.zeros((1, 1, *mesh.shape)),
+            "SRC": np.zeros(sh),
+        }
+        bcs = BCSpec()
+        bcs.set(1, BCKind.DIRICHLET)
+        bcs.set(2, BCKind.DIRICHLET)
+        ctx = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+        opts = SolveOptions(tol_keff=1e-11, tol_flux=1e-9, inner_tol=1e-13)
+        phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
+        res = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
+        errs[(order, n)] = abs(float(res["keff"]) - k_exact)
+
+    # convergence in h and in order
+    assert errs[((0, 0), 80)] < errs[((0, 0), 40)]
+    assert errs[((0, 0), 40)] < 5e-4
+    assert errs[((1, 1), 40)] < errs[((0, 0), 40)]
+    assert errs[((1, 1), 40)] < 5e-6
+
+
+def test_mirror_halving_symmetry():
+    """A symmetric full problem and its mirror-BC half must give the same k-eff."""
+    n = 8
+    L = 40.0
+    mesh_full = CartesianMesh.from_breaks(np.linspace(0, L, 2 * n + 1))
+    mesh_half = CartesianMesh.from_breaks(np.linspace(0, L / 2, n + 1))
+
+    def solve(mesh, right_bc):
+        fes = make_fespace(mesh, 0, 0)
+        sh = (1, *mesh.shape)
+        xs = {
+            "D": np.full(sh, 1.0),
+            "SigR": np.full(sh, 0.05),
+            "NSF": np.full(sh, 0.06),
+            "Chi": np.ones(sh),
+            "SigS": np.zeros((1, 1, *mesh.shape)),
+            "SRC": np.zeros(sh),
+        }
+        bcs = BCSpec()
+        bcs.set(1, BCKind.DIRICHLET)
+        bcs.set(2, right_bc)
+        ctx = build_context(fes, 1, xs, bcs, lumped=False, dtype=DT)
+        opts = SolveOptions(tol_keff=1e-11, tol_flux=1e-9, inner_tol=1e-13)
+        phi0 = jnp.ones((1, *mesh.shape, fes.P), dtype=DT)
+        return float(power_iteration(fes, 1, opts, ctx, phi0, 1.0)["keff"])
+
+    k_full = solve(mesh_full, BCKind.DIRICHLET)
+    k_half = solve(mesh_half, BCKind.MIRROR)
+    assert abs(k_full - k_half) < 1e-9
