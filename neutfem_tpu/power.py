@@ -39,7 +39,15 @@ from .fespace import FESpace
 from .krylov import bicgstab, pcg
 from .ops.apply import apply_B_dir, apply_BT_dir, schur_matvec, solve_A_dir
 
-__all__ = ["SolveOptions", "power_iteration", "compute_current", "group_solve"]
+__all__ = [
+    "SolveOptions",
+    "power_iteration",
+    "fixed_source_solve",
+    "solve_subcritical",
+    "biorthogonal_inner",
+    "compute_current",
+    "group_solve",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,28 +87,43 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
     return solver(matvec, rhs, x0, precond=precond, tol=opts.inner_tol, maxiter=opts.max_inner)
 
 
-def _fission_source(ctx, phi):
-    """total_fiss (nz,ny,nx,P) = sum_g (nuSigf_g-weighted mass) phi_g."""
-    w = ctx["nsf"] * ctx["detJ"]          # (ng, nz, ny, nx)
+def _fission_source(ctx, phi, adjoint: bool = False):
+    """Direct: total_fiss = sum_g (nuSigf_g-weighted mass) phi_g   (NeutFEM.cpp:1700-1707).
+    Adjoint: total_chi = sum_g (chi_g-weighted mass) phi_adj_g     (NeutFEM.cpp:1919-1924)."""
+    w = (ctx["chi"] if adjoint else ctx["nsf"]) * ctx["detJ"]  # (ng, nz, ny, nx)
     return jnp.sum(w[..., None] * (ctx["w_mode"] * phi), axis=0)
 
 
-def _production(ctx, phi):
-    """Reference 'production' functional: sum over all DOF components of M_fiss phi."""
+def _production(ctx, phi, adjoint: bool = False):
+    """Reference 'production' functional: total components of F phi (F^T phi_adj)."""
+    if adjoint:
+        # sum_g sum_dofs nuSigf_g * total_chi  (NeutFEM.cpp:1929-1932, 1963-1966)
+        total_chi = _fission_source(ctx, phi, adjoint=True)
+        return jnp.sum(jnp.sum(ctx["nsf"], axis=0)[..., None] * total_chi)
     w = ctx["nsf"] * ctx["detJ"]
     return jnp.sum(w[..., None] * (ctx["w_mode"] * phi))
 
 
-def _scatter_into(ctx, g: int, phi):
-    """sum_{g' != g} (SigS[g<-g']-weighted mass) phi_g'  (reference NeutFEM.cpp:1719-1726)."""
+def _scatter_into(ctx, g: int, phi, adjoint: bool = False):
+    """Direct: sum_{g' != g} (SigS[g<-g']-weighted mass) phi_g'  (NeutFEM.cpp:1719-1726).
+    Adjoint uses the transposed coupling SigS[g'<-g] (NeutFEM.cpp:1944-1950)."""
     ng = phi.shape[0]
     out = 0.0
     for gp in range(ng):
         if gp == g:
             continue
-        w = ctx["sigs"][g, gp] * ctx["detJ"]
+        sig = ctx["sigs"][gp, g] if adjoint else ctx["sigs"][g, gp]
+        w = sig * ctx["detJ"]
         out = out + w[..., None] * (ctx["w_mode"] * phi[gp])
     return out
+
+
+def _external_source(ctx, g: int):
+    """Flux-space rhs of the per-element-constant external source Q_g: only the P_0
+    mode is excited, with weight detJ * w_mode[0] (= volume * 1 in P0 units)."""
+    P = ctx["w_mode"].shape[0]
+    onehot = jnp.zeros((P,), ctx["w_mode"].dtype).at[0].set(ctx["w_mode"][0])
+    return (ctx["src"][g] * ctx["detJ"])[..., None] * onehot
 
 
 def compute_current(fes: FESpace, ctx: Dict, phi, lumped: bool = False):
@@ -131,43 +154,61 @@ def power_iteration(
     ctx: Dict,
     phi0,
     keff0,
+    adjoint: bool = False,
+    fixed_keff: Optional[float] = None,
 ):
     """Run the accelerated power iteration.  Returns a result dict (device arrays).
 
     phi0: (ng, nz, ny, nx, P) initial flux; keff0: scalar initial eigenvalue.
+    adjoint: solve the adjoint problem (transposed chi/nuSigf/SigS coupling,
+    NeutFEM.cpp:1877-2082); A and C are symmetric so the same Schur solve is reused.
+    fixed_keff: if given, the eigenvalue is held fixed (reference use_direct_keff mode)
+    and convergence is on the flux only.
     """
     dtype = phi0.dtype
     use_cheby = opts.accel == "chebyshev"
     use_anderson = opts.accel == "anderson"
+    cheby_from = 5 if adjoint else 2  # reference NeutFEM.cpp:1786 vs :1990
 
     cheb0 = chebyshev_init(phi0)
     and0 = anderson_init(phi0.size, opts.anderson_m, dtype)
+
+    rhs_w = ctx["nsf"] if adjoint else ctx["chi"]  # group-row weight of the fission rhs
 
     def outer_body(carry):
         phi, keff, it, _, _, cheb, ands, inner_tot = carry
         phi_old = phi
 
-        total_fiss = _fission_source(ctx, phi)
-        prod_old = jnp.sum(total_fiss)
+        total_fiss = _fission_source(ctx, phi, adjoint)
+        prod_old = _production(ctx, phi, adjoint) if adjoint else jnp.sum(total_fiss)
 
         inner_iters = jnp.asarray(0, jnp.int32)
-        for g in range(ng):
+        # Adjoint sweeps groups in REVERSE: importance flows up the group ladder, so
+        # decreasing g is the ordering that makes the Gauss-Seidel scattering sweep
+        # triangular for the transposed coupling.  (The reference sweeps forward in
+        # both modes, NeutFEM.cpp:1936 — with a forward adjoint sweep the Chebyshev
+        # extrapolation destabilizes; documented deviation.)
+        sweep_order = range(ng - 1, -1, -1) if adjoint else range(ng)
+        for g in sweep_order:
             ctxg = ctx_group(ctx, g)
-            # chi is constant per element, so it multiplies every local mode of the
-            # (already mass-weighted) fission source (reference BuildFissionRHS,
-            # NeutFEM.cpp:1539-1562).
-            rhs = ctx["chi"][g][..., None] * total_fiss / keff
-            rhs = rhs + _scatter_into(ctx, g, phi)
+            # chi (nuSigf in adjoint mode) is constant per element, so it multiplies
+            # every local mode of the (already mass-weighted) fission source
+            # (reference BuildFissionRHS, NeutFEM.cpp:1539-1589).
+            rhs = rhs_w[g][..., None] * total_fiss / keff
+            rhs = rhs + _scatter_into(ctx, g, phi, adjoint)
             x0 = phi[g] if opts.warm_start else jnp.zeros_like(phi[g])
             res = group_solve(fes, ctxg, opts, rhs, x0)
             phi = phi.at[g].set(res.x)
             inner_iters = inner_iters + res.iterations
 
-        prod_new = _production(ctx, phi)
+        prod_new = _production(ctx, phi, adjoint)
         safe_old = jnp.where(prod_old == 0, 1.0, prod_old)
         keff_new = keff * prod_new / safe_old
         diff_k = jnp.abs(keff_new - keff)
-        keff = jnp.where(it >= 1, keff_new, keff)
+        if fixed_keff is None:
+            keff = jnp.where(it >= 1, keff_new, keff)
+        else:
+            diff_k = jnp.zeros_like(diff_k)
 
         sol_norm_sq = jnp.sum(phi * phi)
         diff_norm_sq = jnp.sum((phi - phi_old) ** 2)
@@ -180,7 +221,7 @@ def power_iteration(
                 cheb_in, p = args
                 return chebyshev_apply(cheb_in, p, opts.cheby_nmax, opts.cheby_sigma)
 
-            cheb, phi = lax.cond(it >= 2, do_accel, lambda args: args, (cheb, phi))
+            cheb, phi = lax.cond(it >= cheby_from, do_accel, lambda args: args, (cheb, phi))
         elif use_anderson:
             def do_and(args):
                 a_in, p_prev, p = args
@@ -232,3 +273,77 @@ def power_iteration(
 def power_iteration_jit(fes: FESpace, ng: int, opts: SolveOptions):
     """A jitted, reusable power-iteration kernel for (fes, ng, opts)."""
     return jax.jit(partial(power_iteration, fes, ng, opts))
+
+
+def biorthogonal_inner(ctx, phi, phi_adj):
+    """<phi, phi_adj>_M with the Legendre mass weights (NeutFEM.cpp:2020-2066):
+    sum_g sum_{e,p} phi phi_adj * detJ_e * w_mode_p."""
+    return jnp.sum(phi * phi_adj * ctx["detJ"][..., None] * ctx["w_mode"])
+
+
+def fixed_source_solve(
+    fes: FESpace,
+    ng: int,
+    opts: SolveOptions,
+    ctx: Dict,
+    phi0,
+    with_fission: bool = True,
+    keff: float = 1.0,
+):
+    """Fixed-source (subcritical) solve: H phi = (1/keff) F phi + Q.
+
+    Reference intent per the ``SolveSubcritical`` docstring (wrapper.cpp:700-715; the
+    C++ implementation was never shipped): iterate the fission source at fixed k until
+    the flux stagnates; the external source Q (per-element constant, ctx["src"]) drives
+    the P_0 mode.  With ``with_fission=False`` this is a pure source problem (still
+    iterated, to converge upscatter through the Gauss-Seidel group sweep).
+    """
+    def outer_body(carry):
+        phi, it, _, inner_tot = carry
+        phi_old = phi
+        total_fiss = _fission_source(ctx, phi) if with_fission else 0.0
+
+        inner_iters = jnp.asarray(0, jnp.int32)
+        for g in range(ng):
+            ctxg = ctx_group(ctx, g)
+            rhs = _external_source(ctx, g)
+            if with_fission:
+                rhs = rhs + ctx["chi"][g][..., None] * total_fiss / keff
+            rhs = rhs + _scatter_into(ctx, g, phi)
+            x0 = phi[g] if opts.warm_start else jnp.zeros_like(phi[g])
+            res = group_solve(fes, ctxg, opts, rhs, x0)
+            phi = phi.at[g].set(res.x)
+            inner_iters = inner_iters + res.iterations
+
+        num = jnp.sum((phi - phi_old) ** 2)
+        den = jnp.sum(phi * phi)
+        diff = jnp.sqrt(num / jnp.where(den == 0, 1.0, den))
+        return (phi, it + 1, diff, inner_tot + inner_iters)
+
+    def outer_cond(carry):
+        _, it, diff, _ = carry
+        return jnp.logical_and(it < opts.max_outer, diff >= opts.tol_flux)
+
+    one = jnp.asarray(1.0, phi0.dtype)
+    phi, it, diff, inner_tot = lax.while_loop(
+        outer_cond, outer_body, (phi0, jnp.asarray(0, jnp.int32), one, jnp.asarray(0, jnp.int32))
+    )
+    J = compute_current(fes, ctx, phi, lumped=opts.lumped)
+    return {
+        "phi": phi,
+        "J": J,
+        "outer_iterations": it,
+        "inner_iterations": inner_tot,
+        "diff_flux": diff,
+    }
+
+
+def solve_subcritical(fes: FESpace, ng: int, opts: SolveOptions, ctx: Dict, phi0, keff: float = 1.0):
+    """Subcritical amplification: M = ||phi_with_fission|| / ||phi_without_fission||
+    (wrapper.cpp:708: 'Facteur d'amplification M = flux_avec_fission / flux_sans_fission')."""
+    res_f = fixed_source_solve(fes, ng, opts, ctx, phi0, with_fission=True, keff=keff)
+    res_0 = fixed_source_solve(fes, ng, opts, ctx, phi0, with_fission=False)
+    n_f = jnp.sqrt(jnp.sum(res_f["phi"] ** 2))
+    n_0 = jnp.sqrt(jnp.sum(res_0["phi"] ** 2))
+    amplification = n_f / jnp.where(n_0 == 0, 1.0, n_0)
+    return {**res_f, "amplification": amplification, "phi_no_fission": res_0["phi"]}
