@@ -1,0 +1,71 @@
+"""Benchmark entry point (driver contract: print ONE JSON line).
+
+Metric (BASELINE.json): IAEA-3D outer-iteration wall-time.  We run the IAEA-3D
+literature benchmark (2 groups, 19 planes) at --mesh NxN via the reference-compatible
+driver stack and report seconds per outer iteration of the accelerated power
+iteration, measured on a second solve so one-time jit compilation is excluded
+(the compiled executable is also persisted in the JAX compilation cache).
+
+vs_baseline: the reference publishes no hardware-qualified timing; its only timing
+anecdote is SolveKeff on a 100x100x10 RT0-P0 mesh taking ~60 s un-optimized on an
+unspecified CPU (/root/reference/src/wrapper.cpp:659-663).  Assuming the default
+tolerances' typical ~50 outer iterations, that is ~1.2 s/outer at 100k cells, i.e.
+~12 us/cell/outer.  vs_baseline = (12e-6 * n_cells) / measured_seconds_per_outer —
+the estimated CPU-per-outer cost of this problem over ours (>1 means faster).
+"""
+
+import json
+import time
+
+import numpy as np
+
+CPU_SECONDS_PER_CELL_PER_OUTER = 12e-6  # from the reference anecdote (see docstring)
+
+
+def main(mesh_n: int = 2, mesh_nz: int = 2) -> dict:
+    from benchmarks.runner import BenchmarkRun
+    from benchmarks.data import BENCHMARKS
+
+    spec = BENCHMARKS["iaea3d"]
+    run = BenchmarkRun(spec, mesh_n=mesh_n, mesh_nz=mesh_nz, verbose=False)
+    n_cells = run.solver.GetNumElements()
+    tol = (1e-5, 1e-4, 1e-4, 200, 1000)
+
+    # solve 1: includes compile; solve 2: pure device execution from a cold flux
+    run.solve(tol=tol)
+    run.solver.reset_flux()
+    t0 = time.time()
+    keff = run.solver.SolveKeff()
+    wall = time.time() - t0
+    run.keff = keff
+
+    outers = run.solver._last_outers
+
+    pcm = 1e5 * (1.0 / spec.kref - 1.0 / keff)
+    per_outer = wall / max(outers or 1, 1)
+    baseline_per_outer = CPU_SECONDS_PER_CELL_PER_OUTER * n_cells
+    out = {
+        "metric": "iaea3d_seconds_per_outer_iteration",
+        "value": round(per_outer, 6),
+        "unit": "s/outer",
+        "vs_baseline": round(baseline_per_outer / per_outer, 3),
+        "detail": {
+            "keff": round(keff, 6),
+            "kref": spec.kref,
+            "pcm": round(pcm, 2),
+            "n_cells": n_cells,
+            "outer_iterations": outers,
+            "solve_wall_s": round(wall, 3),
+            "mesh": f"{mesh_n}x{mesh_n}x{mesh_nz}",
+        },
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    nz = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    main(n, nz)

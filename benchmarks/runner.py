@@ -1,0 +1,286 @@
+"""Generic driver for the literature benchmarks, built on the compat `neutfem` API.
+
+Plays the role of the per-benchmark classes in the reference's tests/ (same workflow:
+layout expansion -> optional quarter/half domain -> per-cell XS fill -> BuildMatrices ->
+SolveKeff [-> SolveAdjoint] -> pcm vs k_ref -> assembly power factors), but as one
+shared, data-driven implementation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+from neutfem import BCType, BoundaryID, LinearSolverType, NeutFEM, VerbosityLevel
+
+from .data import BENCHMARKS, BenchmarkSpec, sigr_of
+
+__all__ = ["BenchmarkRun", "run_benchmark", "main"]
+
+
+def _expand_layout(rows, n):
+    """Subdivide each layout cell into n x n mesh cells."""
+    return np.array([[c for c in row for _ in range(n)] for row in rows
+                     for _ in range(n)])
+
+
+def _slice_domain(grid, domain):
+    """Reference domain conventions (iaea2d.py:136-151): quarter/half slicing."""
+    L = grid.shape[0]
+    h = L // 2
+    m = {
+        "quart_so": (slice(h, None), slice(None, h)),
+        "quart_no": (slice(None, h), slice(None, h)),
+        "quart_ne": (slice(None, h), slice(h, None)),
+        "quart_se": (slice(h, None), slice(h, None)),
+        "moitie_s": (slice(h, None), slice(None, None)),
+        "moitie_o": (slice(None, None), slice(None, h)),
+        "moitie_n": (slice(None, h), slice(None, None)),
+        "moitie_e": (slice(None, None), slice(h, None)),
+    }
+    if domain in m:
+        ys, xs = m[domain]
+        return grid[..., ys, xs]
+    return grid
+
+
+class BenchmarkRun:
+    """Holds the solver + results of one benchmark execution."""
+
+    def __init__(self, spec: BenchmarkSpec, mesh_n: int = 2, mesh_nz: int = 1,
+                 domain: str = "entier", verbose: bool = False):
+        self.spec = spec
+        self.mesh_n = mesh_n
+        self.mesh_nz = mesh_nz
+        self.domain = domain
+        self.verbose = verbose
+        self.keff: Optional[float] = None
+        self.keff_adj: Optional[float] = None
+        self.Fass: Optional[np.ndarray] = None
+        self.solve_seconds: Optional[float] = None
+        self.outer_iterations: Optional[int] = None
+        self._build()
+
+    # -- geometry + XS --------------------------------------------------------
+
+    def _build(self):
+        spec = self.spec
+        n = self.mesh_n
+        if spec.dim == 3:
+            planes = [
+                _expand_layout(p, n) for p in spec.layout3d for _ in range(self.mesh_nz)
+            ]
+            grid = _slice_domain(np.array(planes), self.domain)
+            nz, ny, nx = grid.shape
+            hz = spec.pitch_z / self.mesh_nz
+            z_breaks = np.linspace(0.0, nz * hz, nz + 1)
+        else:
+            grid = _slice_domain(_expand_layout(spec.layout, n), self.domain)
+            grid = grid[None]  # (1, ny, nx)
+            nz, ny, nx = grid.shape
+            z_breaks = np.array([0.0])
+        self.grid = grid
+
+        h = spec.pitch / n
+        x_breaks = np.linspace(0.0, nx * h, nx + 1)
+        y_breaks = np.linspace(0.0, ny * h, ny + 1)
+
+        s = NeutFEM(0, spec.ng, x_breaks, y_breaks, z_breaks)
+        s.set_verbosity(VerbosityLevel.NORMAL if self.verbose else VerbosityLevel.SILENT)
+        s.set_linear_solver(LinearSolverType.BICGSTAB)
+
+        if spec.dim == 3:
+            for bid in (BoundaryID.LEFT_3D, BoundaryID.RIGHT_3D, BoundaryID.TOP_3D,
+                        BoundaryID.BOTTOM_3D, BoundaryID.FRONT_3D, BoundaryID.BACK_3D):
+                s.set_bc(int(bid), BCType.DIRICHLET, 0.0)
+        elif self.domain == "entier":
+            for bid in (BoundaryID.LEFT_2D, BoundaryID.RIGHT_2D, BoundaryID.TOP_2D,
+                        BoundaryID.BOTTOM_2D):
+                s.set_bc(int(bid), BCType.DIRICHLET, 0.0)
+        elif self.domain.startswith("quart"):
+            # The reference drivers assign MIRROR to TOP/RIGHT for quart_so
+            # (iaea2d.py:284-288) — but after their own row/column slicing the cut
+            # planes are BOTTOM/RIGHT.  Harmless there (the reference's MIRROR is a
+            # silent no-op, NeutFEM.cpp:2128-2131) but wrong with a working MIRROR;
+            # we set the geometrically correct cut planes per quadrant.
+            s.apply_quarter_rotational_symmetry(0, 1)
+            cut = {
+                # rows slice start => cut at low y (BOTTOM); cols end => high x (RIGHT)
+                "quart_so": (BoundaryID.BOTTOM_2D, BoundaryID.RIGHT_2D),
+                "quart_no": (BoundaryID.TOP_2D, BoundaryID.RIGHT_2D),
+                "quart_ne": (BoundaryID.TOP_2D, BoundaryID.LEFT_2D),
+                "quart_se": (BoundaryID.BOTTOM_2D, BoundaryID.LEFT_2D),
+            }[self.domain]
+            for bid in (BoundaryID.LEFT_2D, BoundaryID.RIGHT_2D, BoundaryID.TOP_2D,
+                        BoundaryID.BOTTOM_2D):
+                kind = BCType.MIRROR if bid in cut else BCType.DIRICHLET
+                s.set_bc(int(bid), kind, 0.0)
+        else:
+            raise ValueError(f"unsupported domain {self.domain!r}")
+
+        self._fill_xs(s)
+        s.BuildMatrices()
+        self.solver = s
+
+    def _material_at(self, grid, k, i, j):
+        spec = self.spec
+        ch = grid[k, i, j]
+        if ch != ".":
+            return spec.materials[ch]
+        if spec.baffle is not None:
+            # ZION: empty cells within one baffle-thickness of fuel are steel baffle,
+            # others are water (zion2d.py:265-303 nearest-assembly search).
+            mat_b, thick, fuel_chars = spec.baffle
+            cell = spec.pitch / self.mesh_n
+            r = max(1, int(np.ceil(thick / cell)))
+            nz, ny, nx = grid.shape
+            for di in range(-r, r + 1):
+                for dj in range(-r, r + 1):
+                    ii, jj = i + di, j + dj
+                    if 0 <= ii < ny and 0 <= jj < nx and grid[k, ii, jj] in fuel_chars:
+                        return mat_b
+        return spec.background
+
+    def _fill_xs(self, s: NeutFEM):
+        spec = self.spec
+        ng = spec.ng
+        grid = self.grid
+        nz, ny, nx = grid.shape
+
+        D = np.zeros((ng, nz, ny, nx))
+        SigR = np.zeros_like(D)
+        NSF = np.zeros_like(D)
+        Chi = np.zeros_like(D)
+        SigS = np.zeros((ng, ng, nz, ny, nx))
+
+        cache = {}
+        for k in range(nz):
+            for i in range(ny):
+                for j in range(nx):
+                    mat = self._material_at(grid, k, i, j)
+                    key = id(mat)
+                    if key not in cache:
+                        cache[key] = (np.array(mat["D"]), np.array(sigr_of(mat, ng)),
+                                      np.array(mat["NSF"]), np.array(mat["CHI"]))
+                    d, sr, nsf, chi = cache[key]
+                    D[:, k, i, j] = d
+                    SigR[:, k, i, j] = sr
+                    NSF[:, k, i, j] = nsf
+                    Chi[:, k, i, j] = chi
+                    for (gt, gf), v in mat["S"].items():
+                        SigS[gt, gf, k, i, j] = v
+
+        def sq(a):
+            return a[..., 0, :, :] if spec.dim == 2 else a
+
+        s.get_D()[:] = sq(D)
+        s.get_SigR()[:] = sq(SigR)
+        s.get_NSF()[:] = sq(NSF)
+        s.get_Chi()[:] = sq(Chi)
+        s.get_SigS()[:] = sq(SigS)
+        s.get_KSF()[:] = sq(NSF)  # power proxy
+
+    # -- solve + metrics -------------------------------------------------------
+
+    def solve(self, tol=(1e-5, 1e-4, 1e-4, 200, 1000), use_coarse_init=False,
+              coarse_factors=(), adjoint=False, use_cmfd=False,
+              use_diagonal_solver=False):
+        s = self.solver
+        s.set_tol(*tol)
+        t0 = time.time()
+        self.keff = s.SolveKeff(use_coarse_init=use_coarse_init,
+                                coarse_factors=list(coarse_factors),
+                                use_diagonal_solver=use_diagonal_solver,
+                                use_cmfd=use_cmfd)
+        self.solve_seconds = time.time() - t0
+        if adjoint:
+            self.keff_adj = s.SolveAdjoint()
+        self._power_factors()
+        return self.keff
+
+    @property
+    def pcm(self) -> float:
+        """Reactivity deviation vs k_ref: 1e5 (1/k_ref - 1/k) (iaea2d.py:389)."""
+        return 1e5 * (1.0 / self.spec.kref - 1.0 / self.keff)
+
+    def _power_factors(self):
+        """Assembly power factors normalized to the number of fuel assemblies
+        (iaea2d.py:406-420).  Only meaningful for the 2D cores on full domain."""
+        if self.spec.dim != 2 or self.domain != "entier":
+            return
+        s = self.solver
+        flux = s.get_flux()     # (ng, ny, nx)
+        nsf = s.get_NSF()
+        pvol = (nsf * flux).sum(axis=0)
+        n = self.mesh_n
+        na = pvol.shape[0] // n
+        fass = pvol.reshape(na, n, na, n).sum(axis=(1, 3))
+        total = fass.sum()
+        if self.spec.n_fuel_assemblies and total > 0:
+            fass = self.spec.n_fuel_assemblies * fass / total
+        self.Fass = fass
+
+    def power_deviation(self, reference_map: np.ndarray) -> np.ndarray:
+        """% deviation of assembly power factors vs a reference table (check_Ffaisc)."""
+        return 100.0 * (reference_map - self.Fass) / reference_map
+
+
+def run_benchmark(name: str, mesh_n: int = 2, mesh_nz: int = 1, domain: str = "entier",
+                  adjoint: bool = False, use_coarse_init: bool = False,
+                  coarse_factors=(), tol=(1e-5, 1e-4, 1e-4, 200, 1000),
+                  verbose: bool = False, use_cmfd: bool = False,
+                  use_diagonal_solver: bool = False) -> BenchmarkRun:
+    run = BenchmarkRun(BENCHMARKS[name], mesh_n=mesh_n, mesh_nz=mesh_nz,
+                       domain=domain, verbose=verbose)
+    run.solve(tol=tol, adjoint=adjoint, use_coarse_init=use_coarse_init,
+              coarse_factors=coarse_factors, use_cmfd=use_cmfd,
+              use_diagonal_solver=use_diagonal_solver)
+    return run
+
+
+def main(name: str, argv: Optional[Sequence[str]] = None):
+    p = argparse.ArgumentParser(description=f"{name} benchmark (TPU-native NeutFEM)")
+    p.add_argument("--mesh", default="2x2", help="NxN subdivision per assembly")
+    p.add_argument("--mesh-z", type=int, default=1, help="axial subdivisions per plane (3D)")
+    p.add_argument("--domain", default="entier")
+    p.add_argument("--adjoint", action="store_true")
+    p.add_argument("--coarse", action="store_true", help="use coarse-grid init")
+    p.add_argument("--cmfd", action="store_true")
+    p.add_argument("--diag", action="store_true", help="reference diagonal-Schur mode")
+    p.add_argument("--vtk", default=None, help="export VTK to this basename")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    n = int(str(args.mesh).split("x")[0])
+    spec = BENCHMARKS[name]
+    cf = []
+    if args.coarse:
+        from neutfem_tpu.coarse import default_coarse_factors
+        cf = None  # computed after build
+
+    run = BenchmarkRun(spec, mesh_n=n, mesh_nz=args.mesh_z, domain=args.domain,
+                       verbose=args.verbose)
+    if args.coarse:
+        from neutfem_tpu.coarse import default_coarse_factors
+        cf = list(default_coarse_factors(run.solver._mesh))
+    t0 = time.time()
+    run.solve(adjoint=args.adjoint, use_coarse_init=args.coarse,
+              coarse_factors=cf or (), use_cmfd=args.cmfd,
+              use_diagonal_solver=args.diag)
+    wall = time.time() - t0
+
+    print(f"{name}: k-eff = {run.keff:.6f}  (k_ref = {spec.kref})  "
+          f"pcm = {run.pcm:+.2f}  wall = {wall:.2f}s")
+    if run.keff_adj is not None:
+        print(f"  adjoint k-eff = {run.keff_adj:.6f}  |k-k_adj| = "
+              f"{abs(run.keff - run.keff_adj):.2e}")
+    if run.Fass is not None:
+        print(f"  assembly power factors: max = {np.nanmax(run.Fass):.4f}")
+    if args.vtk:
+        run.solver.ExportVTK(args.vtk, export_flux=True, export_current=True,
+                             export_xs=True, export_adjoint=args.adjoint)
+        print(f"  VTK written to {args.vtk}.vtk")
+    return run

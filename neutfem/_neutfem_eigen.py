@@ -1,0 +1,654 @@
+"""Reference-compatible ``neutfem._neutfem_eigen`` module.
+
+Pure-Python re-creation of the pybind11 surface of the reference build
+(``/root/reference/src/wrapper.cpp``): the four enums and the ``NeutFEM`` class with
+its ~35 methods, backed by the TPU-native solver layers in ``neutfem_tpu``.  Benchmark
+drivers written against the C++ module run unmodified.
+
+Deliberate differences from the reference (SURVEY.md §7.4 — holes filled, not copied):
+
+* ``apply_quarter_rotational_symmetry`` and ``apply_central_symmetry`` are bound (every
+  reference benchmark driver calls them, but the reference wrapper only binds
+  ``apply_quarter_symmetry`` — wrapper.cpp:518 — so those scripts crash on the original).
+* ``SolveSubcritical``, ``project_flux``, ``project_power``, ``zoom_resolved`` are
+  implemented (declared + bound but never implemented in the reference — NeutFEM.hpp:279,
+  303-312; behavior follows their docstrings, wrapper.cpp:700-715, 1005-1064).
+* MIRROR/NEUMANN(0)/ROBIN boundary conditions actually work (the reference's
+  ``ApplyBoundaryConditions`` is an empty stub, NeutFEM.cpp:2128-2131).
+* The Marshak (DIRICHLET) boundary term uses the reference's exact ``2*D*G_ff``
+  convention (NeutFEM.cpp:1350) for eigenvalue parity.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from functools import lru_cache
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from neutfem_tpu import config
+from neutfem_tpu.bc import BCKind, BCSpec
+from neutfem_tpu.coarse import coarse_init, coarsen_xs
+from neutfem_tpu.fespace import FESpace, make_fespace
+from neutfem_tpu.mesh import CartesianMesh
+from neutfem_tpu.ops.context import build_context
+from neutfem_tpu.power import (
+    SolveOptions,
+    biorthogonal_inner,
+    compute_current,
+    fixed_source_solve,
+    power_iteration,
+    solve_subcritical,
+)
+
+from .vtk import write_vtk
+
+__all__ = ["NeutFEM", "BCType", "BoundaryID", "LinearSolverType", "VerbosityLevel"]
+
+
+# ---------------------------------------------------------------------------
+# Enums — names and values of the reference (NeutFEM.hpp:51-91, solvers.hpp:176-190)
+# ---------------------------------------------------------------------------
+
+class BCType(enum.IntEnum):
+    DIRICHLET = 0
+    NEUMANN = 1
+    MIRROR = 2
+    ROBIN = 3
+    PERIODIC = 4
+
+
+class VerbosityLevel(enum.IntEnum):
+    SILENT = 0
+    LIGHT = 1  # exists in C++ but was not bound by the reference wrapper
+    NORMAL = 2
+    VERBOSE = 3
+    DEBUG = 4
+
+
+class BoundaryID(enum.IntEnum):
+    # aliased values exactly as the reference header (NeutFEM.hpp:73-91)
+    LEFT_1D = 1
+    RIGHT_1D = 2
+    LEFT_2D = 1
+    RIGHT_2D = 2
+    TOP_2D = 3
+    BOTTOM_2D = 4
+    BACK_3D = 1
+    FRONT_3D = 2
+    LEFT_3D = 3
+    RIGHT_3D = 4
+    TOP_3D = 5
+    BOTTOM_3D = 6
+
+
+class LinearSolverType(enum.IntEnum):
+    DIRECT_LU = 0
+    DIRECT_LDLT = 1
+    DIRECT_LLT = 2
+    CG = 3
+    CG_DIAG = 4
+    CG_ICHOL = 5
+    BICGSTAB = 6
+    BICGSTAB_DIAG = 7
+    BICGSTAB_ILU = 8
+    LCG = 9
+
+
+_SOLVER_NAMES = {
+    LinearSolverType.DIRECT_LU: "SparseLU",
+    LinearSolverType.DIRECT_LDLT: "SimplicialLDLT",
+    LinearSolverType.DIRECT_LLT: "SimplicialLLT",
+    LinearSolverType.CG: "ConjugateGradient",
+    LinearSolverType.CG_DIAG: "ConjugateGradient+Diagonal",
+    LinearSolverType.CG_ICHOL: "ConjugateGradient+IncompleteCholesky",
+    LinearSolverType.BICGSTAB: "BiCGSTAB",
+    LinearSolverType.BICGSTAB_DIAG: "BiCGSTAB+Diagonal",
+    LinearSolverType.BICGSTAB_ILU: "BiCGSTAB+ILUT",
+    LinearSolverType.LCG: "LeastSquaresConjugateGradient",
+}
+
+# On TPU every variant maps onto one of the two matrix-free Krylov kernels; the Schur
+# complement is SPD so CG is the workhorse (direct factorizations have no sparse-LU
+# analogue in this matrix-free design — they alias to tightly-converged CG).
+_SOLVER_KIND = {
+    LinearSolverType.DIRECT_LU: "cg",
+    LinearSolverType.DIRECT_LDLT: "cg",
+    LinearSolverType.DIRECT_LLT: "cg",
+    LinearSolverType.CG: "cg",
+    LinearSolverType.CG_DIAG: "cg",
+    LinearSolverType.CG_ICHOL: "cg",
+    LinearSolverType.BICGSTAB: "bicgstab",
+    LinearSolverType.BICGSTAB_DIAG: "bicgstab",
+    LinearSolverType.BICGSTAB_ILU: "bicgstab",
+    LinearSolverType.LCG: "cg",
+}
+
+
+def _subcell_average_matrix(order: int, r: int) -> np.ndarray:
+    """T[s, n] = average of Legendre P_n over subcell s of [-1,1] split into r parts,
+    via the antiderivative identity (2n+1) ∫ P_n = P_{n+1} - P_{n-1}."""
+    from neutfem_tpu.elements import legendre_table
+
+    edges = np.linspace(-1.0, 1.0, r + 1)
+    Pe = legendre_table(order + 1, edges)  # (order+2, r+1)
+    T = np.zeros((r, order + 1))
+    width = 2.0 / r
+    for n in range(order + 1):
+        if n == 0:
+            prim = edges.copy()
+        else:
+            prim = (Pe[n + 1] - Pe[n - 1]) / (2 * n + 1)
+        T[:, n] = (prim[1:] - prim[:-1]) / width
+    return T
+
+
+class NeutFEM:
+    """Reference-compatible solver facade (wrapper.cpp:274-1065)."""
+
+    # -- construction -------------------------------------------------------
+
+    def __init__(self, *args, **kwargs):
+        # Both pybind overloads, positionally or by keyword (README.md:186-190 uses
+        # NeutFEM(order=0, ng=2, x_breaks=..., y_breaks=..., z_breaks=...)).
+        if kwargs:
+            if "order" in kwargs or (len(args) + len(kwargs) == 5):
+                names = ["order", "ng", "x_breaks", "y_breaks", "z_breaks"]
+            else:
+                names = ["rt_order", "p_order", "ng", "x_breaks", "y_breaks", "z_breaks"]
+            vals = dict(zip(names, args))
+            vals.update(kwargs)
+            missing = [n for n in names if n not in vals]
+            if missing:
+                raise TypeError(f"NeutFEM: missing arguments {missing}")
+            args = tuple(vals[n] for n in names)
+        if len(args) == 5:
+            rt_order, ng, xb, yb, zb = args
+            p_order = rt_order
+        elif len(args) == 6:
+            rt_order, p_order, ng, xb, yb, zb = args
+        else:
+            raise TypeError(
+                "NeutFEM(order, ng, x_breaks, y_breaks, z_breaks) or "
+                "NeutFEM(rt_order, p_order, ng, x_breaks, y_breaks, z_breaks)"
+            )
+        rt_order, p_order, ng = int(rt_order), int(p_order), int(ng)
+        if p_order > rt_order:
+            p_order = rt_order  # inf-sup guard (NeutFEM.cpp:149-169)
+
+        self._mesh = CartesianMesh.from_breaks(xb, yb, zb)
+        self._fes: FESpace = make_fespace(self._mesh, rt_order, p_order)
+        self._ng = ng
+        self._rt_order = rt_order
+        self._p_order = p_order
+        self._dtype = config.real_dtype
+
+        sh = (ng, *self._mesh.shape)
+        # XS storage with the reference defaults (NeutFEM.cpp:179-218)
+        self._xs: Dict[str, np.ndarray] = {
+            "D": np.full(sh, 1.0),
+            "SRC": np.zeros(sh),
+            "SigR": np.full(sh, 0.01),
+            "NSF": np.zeros(sh),
+            "KSF": np.zeros(sh),
+            "Chi": np.zeros(sh),
+            "SigS": np.zeros((ng, ng, *self._mesh.shape)),
+        }
+        self._xs["Chi"][0] = 1.0
+
+        self._bcs = BCSpec()
+        self._solver_type = LinearSolverType.BICGSTAB  # reference default (NeutFEM.cpp:126)
+        self._tol_keff = 1e-5
+        self._tol_flux = 1e-5
+        self._tol_l2 = 1e-5
+        self._max_outer = 200
+        self._max_inner = 1000
+        self._verbosity = VerbosityLevel.NORMAL
+        self._cmfd_omega = 1.0
+
+        self._ctx_cache: Dict[str, Dict] = {}
+        self._built = False
+        self._phi: Optional[jnp.ndarray] = None      # (ng, nz, ny, nx, P)
+        self._phi_adj: Optional[jnp.ndarray] = None
+        self._J = None
+        self._J_adj = None
+        self._keff: Optional[float] = None
+        self._keff_adj: Optional[float] = None
+        self._sym_flags: List[str] = []
+
+        self._log(
+            VerbosityLevel.NORMAL,
+            f"NeutFEM RT{rt_order}-P{p_order}: {self._mesh.dim}D mesh "
+            f"{self._mesh.nx}x{self._mesh.ny}x{self._mesh.nz}, {ng} groups, "
+            f"{self._fes.n_phi} flux DOFs, {self._fes.n_J} current DOFs [TPU backend]",
+        )
+
+    # -- small utilities ----------------------------------------------------
+
+    def _log(self, level: VerbosityLevel, *msg):
+        if self._verbosity >= level:
+            print(*msg)
+
+    def _squeeze(self, arr: np.ndarray) -> np.ndarray:
+        """Return the dimension-appropriate mutable view: (ng[,nz][,ny],nx)
+        (reference zero-copy layout, NeutFEM.cpp:2626-2644)."""
+        if self._mesh.dim == 3:
+            return arr
+        if self._mesh.dim == 2:
+            return arr[..., 0, :, :]
+        return arr[..., 0, 0, :]
+
+    def _ctx(self, a_mode: str):
+        if not self._built:
+            raise RuntimeError("BuildMatrices() must be called before solving")
+        if a_mode not in self._ctx_cache:
+            self._ctx_cache[a_mode] = build_context(
+                self._fes, self._ng, self._xs, self._bcs,
+                a_mode=a_mode, dtype=self._dtype, marshak_d_factor=True,
+            )
+        return self._ctx_cache[a_mode]
+
+    def _opts(self, a_mode: str, use_cmfd: bool = False) -> SolveOptions:
+        return SolveOptions(
+            tol_keff=self._tol_keff,
+            tol_flux=self._tol_flux,
+            # the reference wires tol_flux (not tol_L2) into the Schur solver
+            # (NeutFEM.cpp:334); tol_L2 is stored but never used there
+            inner_tol=self._tol_flux,
+            max_outer=self._max_outer,
+            max_inner=self._max_inner,
+            a_mode=a_mode,
+            inner_solver=_SOLVER_KIND[self._solver_type],
+            use_cmfd=use_cmfd,
+            cmfd_omega=self._cmfd_omega,
+        )
+
+    @lru_cache(maxsize=None)
+    def _solver_fn(self, opts: SolveOptions, adjoint: bool, hold_keff: bool):
+        """Jitted power-iteration kernel; cached per static configuration.  With
+        hold_keff the eigenvalue stays at keff0 (its value is traced, so changing the
+        direct k between adjoint solves does not retrace)."""
+        fes, ng = self._fes, self._ng
+
+        def run(ctx, phi0, keff0):
+            return power_iteration(fes, ng, opts, ctx, phi0, keff0, adjoint=adjoint,
+                                   fixed_keff=(keff0 if hold_keff else None))
+
+        return jax.jit(run)
+
+    def __hash__(self):  # needed for the lru_cache on methods
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    def _flat_phi(self):
+        return jnp.ones((self._ng, *self._mesh.shape, self._fes.P), dtype=self._dtype)
+
+    # -- configuration (wrapper.cpp:401-571) ---------------------------------
+
+    def set_bc(self, attr: int, bc_type, value: float = 0.0):
+        self._bcs.set(int(attr), BCKind(int(bc_type)), float(value))
+        self._ctx_cache.clear()
+
+    def set_robin_coefficients(self, alpha: float, beta: float):
+        self._bcs.robin_alpha = float(alpha)
+        self._bcs.robin_beta = float(beta)
+        self._ctx_cache.clear()
+
+    def set_linear_solver(self, solver_type):
+        self._solver_type = LinearSolverType(int(solver_type))
+
+    def set_tol(self, tol_keff=1e-5, tol_flux=1e-5, tol_L2=1e-5, max_outer=200,
+                max_inner=1000):
+        self._tol_keff = float(tol_keff)
+        self._tol_flux = float(tol_flux)
+        self._tol_l2 = float(tol_L2)
+        self._max_outer = int(max_outer)
+        self._max_inner = int(max_inner)
+
+    def set_verbosity(self, level):
+        self._verbosity = VerbosityLevel(int(level))
+
+    def set_cmfd_relaxation(self, omega: float):
+        self._cmfd_omega = float(omega)
+
+    def apply_quarter_symmetry(self, axis1: int = 0, axis2: int = 1):
+        """Reference behavior (NeutFEM.cpp:356-362): set MIRROR on the two cut planes
+        of a quarter core and record the flag (drivers then override BCs explicitly)."""
+        self._bcs.set(int(BoundaryID.LEFT_2D), BCKind.MIRROR)
+        self._bcs.set(int(BoundaryID.BOTTOM_2D), BCKind.MIRROR)
+        self._sym_flags.append(f"quarter({axis1},{axis2})")
+        self._ctx_cache.clear()
+
+    # Names used by every reference benchmark driver but missing from the reference
+    # wrapper (SURVEY §2.4 API drift) — bound here so the scripts run unmodified.
+    def apply_quarter_rotational_symmetry(self, axis1: int = 0, axis2: int = 1):
+        self.apply_quarter_symmetry(axis1, axis2)
+
+    def apply_central_symmetry(self, axis1: int = 0, axis2: int = 1):
+        self._sym_flags.append(f"central({axis1},{axis2})")
+
+    # Reflector API: no-op stubs exactly like the reference (NeutFEM.cpp:2614-2620)
+    def add_refl(self, *args, **kwargs):
+        return None
+
+    def set_refl(self, *args, **kwargs):
+        return None
+
+    def clean_refl(self, *args, **kwargs):
+        return None
+
+    # -- assembly ------------------------------------------------------------
+
+    def BuildMatrices(self):
+        """Stage geometry + XS to the device operator context (reference
+        BuildMatrices, NeutFEM.cpp:402-457 — here: precomputed stencil tensors +
+        tridiagonal factorizations, built once, removing the per-solve
+        re-factorization defect NeutFEM.cpp:2094-2097)."""
+        t0 = time.time()
+        self._ctx_cache.clear()
+        self._built = True
+        self._ctx("exact")
+        self._log(VerbosityLevel.NORMAL,
+                  f"BuildMatrices: operator context staged in {time.time() - t0:.3f}s")
+
+    def build_diagonal_cache(self):
+        if self._rt_order == 0 and self._p_order == 0:
+            self._ctx("diag")
+
+    def initialize_cmfd(self):
+        # CMFD coupling data (Dtilde, face areas, current scales) is part of every
+        # context build; nothing extra to do.
+        self._ctx("exact")
+
+    # -- solves ---------------------------------------------------------------
+
+    def SolveKeff(self, use_coarse_init: bool = False, coarse_factors: Sequence[int] = (),
+                  use_diagonal_solver: bool = False, use_cmfd: bool = False) -> float:
+        a_mode = "diag" if (use_diagonal_solver and self._rt_order == 0
+                            and self._p_order == 0) else "exact"
+        ctx = self._ctx(a_mode)
+        opts = self._opts(a_mode, use_cmfd=use_cmfd)
+
+        keff0 = self._keff if self._keff else 1.0
+        phi0 = self._phi if self._phi is not None else self._flat_phi()
+        if use_coarse_init and len(coarse_factors) > 0:
+            k_c, phi0 = coarse_init(
+                self._fes, self._ng, self._xs, self._bcs, tuple(coarse_factors),
+                self._opts("exact"), self._dtype, marshak_d_factor=True,
+            )
+            keff0 = float(k_c)
+            self._log(VerbosityLevel.NORMAL, f"  coarse init: k-eff = {keff0:.6f}")
+
+        t0 = time.time()
+        res = self._solver_fn(opts, False, False)(ctx, phi0, keff0)
+        keff = float(res["keff"])
+        self._phi = res["phi"]
+        self._J = res["J"]
+        self._keff = keff
+        self._last_outers = int(res["outer_iterations"])
+        self._last_inners = int(res["inner_iterations"])
+        self._log(
+            VerbosityLevel.NORMAL,
+            f"SolveKeff: k-eff = {keff:.6f} in {int(res['outer_iterations'])} outer / "
+            f"{int(res['inner_iterations'])} inner iterations "
+            f"({time.time() - t0:.3f}s, dk={float(res['diff_k']):.2e}, "
+            f"dphi={float(res['diff_flux']):.2e})",
+        )
+        return keff
+
+    def SolveAdjoint(self, normalize_to_direct: bool = True,
+                     use_direct_keff: bool = True) -> float:
+        ctx = self._ctx("exact")
+        opts = self._opts("exact")
+        fixed = self._keff if (use_direct_keff and self._keff) else None
+        keff0 = fixed if fixed is not None else (self._keff or 1.0)
+        phi0 = self._phi_adj if self._phi_adj is not None else self._flat_phi()
+
+        t0 = time.time()
+        res = self._solver_fn(opts, True, fixed is not None)(ctx, phi0, keff0)
+        keff_adj = float(res["keff"]) if fixed is None else float(fixed)
+        phi_adj = res["phi"]
+
+        if normalize_to_direct and self._phi is not None:
+            ip = biorthogonal_inner(ctx, self._phi, phi_adj)
+            ipf = float(ip)
+            if abs(ipf) > 1e-14:
+                phi_adj = phi_adj / ip  # <phi, phi_adj>_M = 1 (NeutFEM.cpp:2020-2066)
+
+        self._phi_adj = phi_adj
+        self._J_adj = res["J"]
+        self._keff_adj = keff_adj
+        self._log(
+            VerbosityLevel.NORMAL,
+            f"SolveAdjoint: k-eff(adj) = {keff_adj:.6f} in "
+            f"{int(res['outer_iterations'])} outers ({time.time() - t0:.3f}s)",
+        )
+        return keff_adj
+
+    def SolveSubcritical(self) -> float:
+        """Fixed-source subcritical solve (wrapper.cpp:700-715 — unimplemented in the
+        reference).  Returns the amplification factor M."""
+        ctx = self._ctx("exact")
+        opts = self._opts("exact")
+        phi0 = jnp.zeros((self._ng, *self._mesh.shape, self._fes.P), dtype=self._dtype)
+        res = solve_subcritical(self._fes, self._ng, opts, ctx, phi0,
+                                keff=self._keff or 1.0)
+        self._phi = res["phi"]
+        self._J = res["J"]
+        amp = float(res["amplification"])
+        self._log(VerbosityLevel.NORMAL, f"SolveSubcritical: amplification M = {amp:.4f}")
+        return amp
+
+    def SolveCoarse(self, refine: Sequence[int]):
+        """Coarse solve + P0 injection (NeutFEM.cpp:2380-2611). Returns (k, flux)."""
+        k_c, phi0 = coarse_init(
+            self._fes, self._ng, self._xs, self._bcs, tuple(refine),
+            self._opts("exact"), self._dtype, marshak_d_factor=True,
+        )
+        self._phi = phi0
+        self._keff = float(k_c)
+        return float(k_c), np.asarray(phi0[..., 0])
+
+    # -- projection / zoom (wrapper.cpp:1003-1064, unimplemented upstream) ----
+
+    def _refine_factors(self, refine: Sequence[int]):
+        r = list(refine) + [1] * (3 - len(refine))
+        rx = max(int(r[0]), 1)
+        ry = max(int(r[1]), 1) if self._mesh.dim >= 2 else 1
+        rz = max(int(r[2]), 1) if self._mesh.dim == 3 else 1
+        return rx, ry, rz
+
+    def project_flux(self, refine: Sequence[int], adjoint: bool = False) -> np.ndarray:
+        """Exact subcell averages of the polynomial flux on a refined mesh."""
+        phi = self._phi_adj if adjoint else self._phi
+        if phi is None:
+            raise RuntimeError("no flux available: solve first")
+        rx, ry, rz = self._refine_factors(refine)
+        fes = self._fes
+        phi = np.asarray(phi)  # (ng, nz, ny, nx, P)
+        Ts = {0: _subcell_average_matrix(fes.m, rx),
+              1: _subcell_average_matrix(fes.m, ry),
+              2: _subcell_average_matrix(fes.m, rz)}
+        ng, nz, ny, nx, P = phi.shape
+        out = np.zeros((ng, nz * rz, ny * ry, nx * rx))
+        for p in range(P):
+            px, py, pz = fes.modes[p]
+            term = phi[..., p]
+            # tensor outer product of the per-axis subcell averages
+            wz = Ts[2][:, pz] if self._mesh.dim == 3 else np.ones(rz)
+            wy = Ts[1][:, py] if self._mesh.dim >= 2 else np.ones(ry)
+            wx = Ts[0][:, px]
+            blk = (term[:, :, None, :, None, :, None]
+                   * wz[None, None, :, None, None, None, None]
+                   * wy[None, None, None, None, :, None, None]
+                   * wx[None, None, None, None, None, None, :])
+            out += blk.reshape(ng, nz * rz, ny * ry, nx * rx)
+        return self._squeeze(out)
+
+    def project_power(self, refine: Sequence[int], adjoint: bool = False) -> np.ndarray:
+        """kappa-Sigma_f * flux on the refined mesh (wrapper.cpp:1024-1043)."""
+        rx, ry, rz = self._refine_factors(refine)
+        flux = self.project_flux(refine, adjoint)  # squeezed refined flux
+        ksf = self._xs["KSF"]
+        ksf_f = np.repeat(np.repeat(np.repeat(ksf, rz, axis=1), ry, axis=2), rx, axis=3)
+        power = (self._squeeze(ksf_f) * flux).sum(axis=0)
+        return power
+
+    def zoom_resolved(self, refine: Sequence[int], adjoint: bool = False) -> np.ndarray:
+        """Re-solve on a refined mesh with the fission source frozen from the current
+        coarse solution (wrapper.cpp:1047-1064)."""
+        phi = self._phi_adj if adjoint else self._phi
+        if phi is None or self._keff is None:
+            raise RuntimeError("no solution available: solve first")
+        rx, ry, rz = self._refine_factors(refine)
+
+        def refine_breaks(b, r):
+            if r == 1 or b.size < 2:
+                return b
+            segs = [np.linspace(b[i], b[i + 1], r + 1)[:-1] for i in range(b.size - 1)]
+            return np.append(np.concatenate(segs), b[-1])
+
+        fmesh = CartesianMesh.from_breaks(
+            refine_breaks(self._mesh.x_breaks, rx),
+            refine_breaks(self._mesh.y_breaks, ry) if self._mesh.dim >= 2 else self._mesh.y_breaks[:1],
+            refine_breaks(self._mesh.z_breaks, rz) if self._mesh.dim == 3 else self._mesh.z_breaks[:1],
+        )
+        ffes = make_fespace(fmesh, self._rt_order, self._p_order)
+
+        def rep(a):
+            return np.repeat(np.repeat(np.repeat(a, rz, axis=-3), ry, axis=-2), rx, axis=-1)
+
+        fxs = {k: rep(v) for k, v in self._xs.items()}
+        # frozen fission source projected onto the refined cells
+        flux_ref = self.project_flux((rx, ry, rz), adjoint)  # squeezed
+        full = np.zeros((self._ng, *fmesh.shape))
+        self._squeeze(full)[...] = flux_ref
+        fiss = (rep(self._xs["NSF"]) * full).sum(axis=0)
+        fxs["SRC"] = rep(self._xs["Chi"]) * fiss[None] / self._keff
+        fxs["NSF"] = np.zeros_like(fxs["NSF"])  # fission frozen into SRC
+
+        fctx = build_context(ffes, self._ng, fxs, self._bcs, a_mode="exact",
+                             dtype=self._dtype, marshak_d_factor=True)
+        opts = self._opts("exact")
+        phi0 = jnp.zeros((self._ng, *fmesh.shape, ffes.P), dtype=self._dtype)
+        res = fixed_source_solve(ffes, self._ng, opts, fctx, phi0, with_fission=False)
+        out = np.zeros((self._ng, *fmesh.shape))
+        out[...] = np.asarray(res["phi"][..., 0])
+        return self._squeeze(out)
+
+    # -- export ----------------------------------------------------------------
+
+    def _cell_current(self, J) -> Optional[np.ndarray]:
+        """(ng, nz, ny, nx, 3) cell-average current vectors: mean of the two opposing
+        face values per direction (reference VTK export convention)."""
+        if J is None:
+            return None
+        out = np.zeros((self._ng, *self._mesh.shape, 3))
+        for di in self._fes.dirs:
+            F = np.asarray(J[f"d{di.d}"]["face"])[..., 0]  # t=0 transverse mode
+            ax = di.axis + 1
+            sl_lo = [slice(None)] * 4
+            sl_hi = [slice(None)] * 4
+            n = F.shape[ax]
+            sl_lo[ax] = slice(0, n - 1)
+            sl_hi[ax] = slice(1, n)
+            ctx = self._ctx("exact")
+            scale = np.asarray(ctx[f"jscale_{f'd{di.d}'}"])
+            Fp = F * scale
+            out[..., di.d] = 0.5 * (Fp[tuple(sl_lo)] + Fp[tuple(sl_hi)])
+        return out
+
+    def ExportVTK(self, filename: str, export_flux: bool = True,
+                  export_current: bool = True, export_xs: bool = False,
+                  export_adjoint: bool = False) -> None:
+        flux = self.get_flux_full() if (export_flux and self._phi is not None) else None
+        adj = self.get_flux_adj_full() if (export_adjoint and self._phi_adj is not None) else None
+        cur = self._cell_current(self._J) if export_current and self._J else None
+        write_vtk(filename, self._mesh, self._keff or 0.0, flux=flux, flux_adj=adj,
+                  current=cur, xs=self._xs if export_xs else None)
+
+    def ExportFluxVTK(self, filename: str) -> None:
+        write_vtk(filename, self._mesh, self._keff or 0.0, flux=self.get_flux_full())
+
+    def ExportXSVTK(self, filename: str) -> None:
+        write_vtk(filename, self._mesh, self._keff or 0.0, xs=self._xs)
+
+    # -- data access ------------------------------------------------------------
+
+    def get_D(self):
+        return self._squeeze(self._xs["D"])
+
+    def get_SRC(self):
+        return self._squeeze(self._xs["SRC"])
+
+    def get_SigR(self):
+        return self._squeeze(self._xs["SigR"])
+
+    def get_NSF(self):
+        return self._squeeze(self._xs["NSF"])
+
+    def get_KSF(self):
+        return self._squeeze(self._xs["KSF"])
+
+    def get_Chi(self):
+        return self._squeeze(self._xs["Chi"])
+
+    def get_SigS(self):
+        return self._squeeze(self._xs["SigS"])
+
+    def get_flux_full(self) -> Optional[np.ndarray]:
+        if self._phi is None:
+            return None
+        return np.asarray(self._phi[..., 0])  # P0 (cell-average) component
+
+    def get_flux_adj_full(self) -> Optional[np.ndarray]:
+        if self._phi_adj is None:
+            return None
+        return np.asarray(self._phi_adj[..., 0])
+
+    def get_flux(self):
+        full = self.get_flux_full()
+        if full is None:
+            full = np.zeros((self._ng, *self._mesh.shape))
+        return self._squeeze(full)
+
+    def get_flux_adj(self):
+        full = self.get_flux_adj_full()
+        if full is None:
+            full = np.zeros((self._ng, *self._mesh.shape))
+        return self._squeeze(full)
+
+    # -- utilities ----------------------------------------------------------------
+
+    def reset_flux(self):
+        self._phi = None
+        self._phi_adj = None
+        self._J = None
+        self._J_adj = None
+        self._keff = None
+        self._keff_adj = None
+
+    def GetNumElements(self) -> int:
+        return self._mesh.n_elements
+
+    def GetNumGroups(self) -> int:
+        return self._ng
+
+    def GetDimension(self) -> int:
+        return self._mesh.dim
+
+    def GetLastKeff(self) -> float:
+        return self._keff if self._keff is not None else 0.0
+
+    def GetLastKeffAdjoint(self) -> float:
+        return self._keff_adj if self._keff_adj is not None else 0.0
+
+    def GetSolverName(self) -> str:
+        return _SOLVER_NAMES[self._solver_type]

@@ -26,12 +26,12 @@ from typing import Dict, Tuple
 
 
 class BCKind(enum.IntEnum):
-    # Values match the reference wrapper enum order (wrapper.cpp:100-134).
+    # Values match the reference BCType declaration order (NeutFEM.hpp:51-57).
     DIRICHLET = 0
     NEUMANN = 1
-    ROBIN = 2
-    PERIODIC = 3
-    MIRROR = 4
+    MIRROR = 2
+    ROBIN = 3
+    PERIODIC = 4
     NONE = 99  # unspecified: natural (zero boundary flux), the reference default
 
 

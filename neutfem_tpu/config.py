@@ -23,6 +23,17 @@ _X64 = os.environ.get("NEUTFEM_X64", "1") not in ("0", "false", "False")
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the jitted power-iteration while_loops are large
+# graphs whose first compile dominates small-problem wall time; cache them across
+# processes (override location with NEUTFEM_COMP_CACHE, disable with "0").
+_cache_dir = os.environ.get("NEUTFEM_COMP_CACHE", os.path.expanduser("~/.cache/neutfem_jax"))
+if _cache_dir not in ("0", ""):
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these flags
+        pass
+
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 
 #: Working dtype for all solver arrays.

@@ -72,11 +72,11 @@ def solve_A_dir(
     alpha,
     rF,
     rW,
-    lumped: bool,
+    a_mode: str,
 ):
     """Exact solve of the per-direction RT mass block A_d J = r.
 
-    dinv, l : tridiagonal factors over faces (batch..., face_shape); l is None if lumped.
+    dinv, l : tridiagonal factors over faces (batch..., face_shape); l is None unless a_mode == 'exact'.
     mask    : (face_shape) 1.0 for free faces, 0.0 for pinned (MIRROR / inactive).
     alpha   : (batch..., nz, ny, nx) element coefficient factor_d / D.
     Returns (F, W) face and bubble solutions.
@@ -94,7 +94,7 @@ def solve_A_dir(
 
     rF = rF * mask[..., None]
     rFs = rF / m_t
-    if lumped:
+    if a_mode != "exact":
         F = rFs * dinv[..., None]
     else:
         F = tridiag_solve(rFs, dinv[..., None], l[..., None], axis=ax)
@@ -114,7 +114,7 @@ def solve_A_dir(
     return F, W
 
 
-def solve_A(fes: FESpace, ctx: Dict, rhs_by_dir, lumped: bool):
+def solve_A(fes: FESpace, ctx: Dict, rhs_by_dir, a_mode: str):
     """Apply A^{-1} to per-direction rhs dict {f"d{d}": (rF, rW)} -> same structure."""
     out = {}
     for di in fes.dirs:
@@ -129,13 +129,13 @@ def solve_A(fes: FESpace, ctx: Dict, rhs_by_dir, lumped: bool):
             ctx[f"alpha_{key}"],
             rF,
             rW,
-            lumped,
+            a_mode,
         )
         out[key] = (F, W)
     return out
 
 
-def schur_matvec(fes: FESpace, ctx: Dict, v, lumped: bool):
+def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str):
     """S v = C v + sum_d B_d A_d^{-1} B_d^T v   (matrix-free Schur complement).
 
     Mirrors the reference's implicit SchurProduct (solvers.cpp:535-547) but with an
@@ -155,7 +155,7 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, lumped: bool):
             ctx[f"alpha_{key}"],
             rF,
             rW,
-            lumped,
+            a_mode,
         )
         out = out + apply_B_dir(fes, di, F, W)
     return out

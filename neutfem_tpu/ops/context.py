@@ -44,14 +44,26 @@ def build_context(
     ng: int,
     xs: Dict[str, np.ndarray],
     bcs: BCSpec,
-    lumped: bool,
-    dtype,
+    a_mode: str = "exact",
+    dtype=None,
     marshak_d_factor: bool = False,
 ) -> Dict[str, jnp.ndarray]:
+    """a_mode selects how A (the RT mass) is inverted in the Schur product:
+
+    * "exact"  — exact per-direction tridiagonal solve (consistent mixed FEM);
+    * "diag"   — A^-1 ~ 1/diag(A): the reference's RT0-P0 "diagonal Schur" fast path
+      (NeutFEM.cpp:459-634, its headline optimization and the mode behind the
+      published benchmark eigenvalues via the 2-arg SolveKeff overload,
+      NeutFEM.cpp:1820-1826).  S is then exactly diagonal for RT0-P0.
+    * "lumped" — row-sum mass lumping (classic mesh-centered finite differences).
+    """
     mesh = fes.mesh
     et = fes.et
-    if lumped and et.k != 0:
-        raise ValueError("lumped (diagonal) A-solve is only defined for RT0")
+    if a_mode not in ("exact", "diag", "lumped"):
+        raise ValueError(f"unknown a_mode {a_mode!r}")
+    lumped = a_mode == "lumped"
+    if a_mode != "exact" and et.k != 0:
+        raise ValueError("diag/lumped A-solves are only defined for RT0")
 
     detJ = mesh.det_jac()  # (nz, ny, nx)
     w_mode = fes.w_mode  # (P,)
@@ -125,7 +137,7 @@ def build_context(
             # BCKind.NONE: natural => zero boundary flux, no term (reference default)
 
         # --- LDL^T factorization along the face axis (host, once) ----------
-        if lumped:
+        if a_mode in ("lumped", "diag"):
             dinv = 1.0 / diag
             l = None
         else:
@@ -144,8 +156,36 @@ def build_context(
             ctx_np[f"tri_l_{key}"] = l
         ctx_np[f"mask_{key}"] = mask
 
+        # --- CMFD geometry/coupling data (NeutFEM.cpp:714-809) ---------------
+        # Dtilde per face: interior 2 D_L D_R / (D_L h_R + D_R h_L); boundary 2D/h.
+        h_d = mesh.h_grid(di.d)  # (nz, ny, nx)
+        D_l = D[_axslice(4, fax, slice(0, -1))]  # (ng, cells) neighbors of interior faces
+        D_r = D[_axslice(4, fax, slice(1, None))]
+        h_l = h_d[_axslice(3, ax, slice(0, -1))]
+        h_r = h_d[_axslice(3, ax, slice(1, None))]
+        dtilde = np.zeros(fshape)
+        dtilde[_axslice(4, fax, slice(1, n_faces - 1))] = (
+            2.0 * D_l * D_r / (D_l * h_r + D_r * h_l)
+        )
+        dtilde[_axslice(4, fax, 0)] = 2.0 * D[_axslice(4, fax, 0)] / h_d[_axslice(3, ax, 0)]
+        dtilde[_axslice(4, fax, n_faces - 1)] = (
+            2.0 * D[_axslice(4, fax, -1)] / h_d[_axslice(3, ax, -1)]
+        )
+        ctx_np[f"dtilde_{key}"] = dtilde
+        ctx_np[f"area_{key}"] = fa  # physical face area per cell (transverse h product)
+        # physical normal-current density per unit face DOF: jac_d / detJ (transverse-
+        # uniform along d, so identical from both neighboring elements); face-shaped.
+        js_cell = jacs[di.d] / detJ  # (nz, ny, nx)
+        js_face = np.concatenate(
+            [js_cell, js_cell[_axslice(3, ax, slice(-1, None))]], axis=ax
+        )
+        ctx_np[f"jscale_{key}"] = js_face
+
         # --- Jacobi diag(S) estimate (generalized diagonal-Schur formula) ---
-        inv_diag = 1.0 / diag
+        # Pinned faces (MIRROR/NEUMANN-0) carry no coupling: exclude them, so that in
+        # "diag" mode this is EXACTLY S_ee = C_ee + sum_f B_ef^2 / A_ff
+        # (NeutFEM.cpp:459-473) and the group solve is one elementwise product.
+        inv_diag = mask[None] / diag
         left = inv_diag[_axslice(4, fax, slice(0, n_faces - 1))]
         right = inv_diag[_axslice(4, fax, slice(1, n_faces))]
         m_t_of_p = di.m_t[di.p_to_t]  # (P,)
@@ -161,5 +201,7 @@ def build_context(
     ctx_np["chi"] = np.asarray(xs["Chi"], dtype=np.float64)
     ctx_np["sigs"] = np.asarray(xs["SigS"], dtype=np.float64)
     ctx_np["src"] = np.asarray(xs["SRC"], dtype=np.float64)
+    ctx_np["sigr"] = SigR  # raw removal XS, used by the CMFD finite-volume operator
+    ctx_np["vol"] = mesh.volumes()
 
     return {k: jnp.asarray(v, dtype=dtype) for k, v in ctx_np.items()}

@@ -35,6 +35,7 @@ from .accel import (
     chebyshev_apply,
     chebyshev_init,
 )
+from .cmfd import cmfd_correction
 from .fespace import FESpace
 from .krylov import bicgstab, pcg
 from .ops.apply import apply_B_dir, apply_BT_dir, schur_matvec, solve_A_dir
@@ -63,9 +64,12 @@ class SolveOptions:
     cheby_nmax: int = 15
     cheby_sigma: float = 0.98
     anderson_m: int = 4
-    lumped: bool = False          # RT0-P0 mass-lumped (finite-difference) fast path
+    a_mode: str = "exact"         # A-inverse mode: "exact" | "diag" | "lumped"
     warm_start: bool = True
     inner_solver: str = "cg"      # "cg" | "bicgstab"
+    use_cmfd: bool = False        # CMFD nonlinear acceleration (excludes Chebyshev)
+    cmfd_omega: float = 1.0       # CMFD correction relaxation (SetCMFDRelaxation)
+    cmfd_from_iter: int = 2       # first outer iteration with CMFD (NeutFEM.cpp:1750)
 
 
 def ctx_group(ctx: Dict, g: int) -> Dict:
@@ -80,11 +84,32 @@ def ctx_group(ctx: Dict, g: int) -> Dict:
 
 
 def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
-    """Solve S_g phi_g = rhs with Jacobi-preconditioned CG (or BiCGSTAB)."""
-    matvec = lambda v: schur_matvec(fes, ctxg, v, lumped=opts.lumped)
-    precond = lambda r: ctxg["precond_inv"] * r
+    """Solve S_g phi_g = rhs via symmetrically Jacobi-equilibrated CG (or BiCGSTAB).
+
+    The solve runs on the scaled system  D^-1/2 S D^-1/2 y = D^-1/2 rhs  with
+    D = diag(S) (the diagonal-Schur estimate).  This is mathematically identical to
+    Jacobi-PCG on S, but every Krylov intermediate is O(1): required on TPU, where
+    emulated float64 inherits the float32 exponent range and the raw dot products
+    overflow for problems with near-void cells (Sigma_r ~ 1e8-1e15 in the IAEA-3D /
+    KOEBERG benchmark fillers).
+
+    In "diag" A-mode with RT0-P0, S is exactly diagonal and equals 1/precond_inv, so
+    the solve is a single elementwise product — the TPU-native form of the
+    reference's diagonal-Schur fast path (NeutFEM.cpp:607-634)."""
+    if opts.a_mode == "diag" and fes.k == 0 and fes.m == 0:
+        from .krylov import KrylovResult
+
+        x = ctxg["precond_inv"] * rhs
+        return KrylovResult(
+            x=x,
+            iterations=jnp.asarray(0, jnp.int32),
+            residual=jnp.asarray(0.0, rhs.dtype),
+        )
+    sdi = jnp.sqrt(ctxg["precond_inv"])  # D^-1/2
+    matvec = lambda y: sdi * schur_matvec(fes, ctxg, y * sdi, a_mode=opts.a_mode)
     solver = pcg if opts.inner_solver == "cg" else bicgstab
-    return solver(matvec, rhs, x0, precond=precond, tol=opts.inner_tol, maxiter=opts.max_inner)
+    res = solver(matvec, rhs * sdi, x0 / sdi, tol=opts.inner_tol, maxiter=opts.max_inner)
+    return res._replace(x=res.x * sdi)
 
 
 def _fission_source(ctx, phi, adjoint: bool = False):
@@ -126,7 +151,7 @@ def _external_source(ctx, g: int):
     return (ctx["src"][g] * ctx["detJ"])[..., None] * onehot
 
 
-def compute_current(fes: FESpace, ctx: Dict, phi, lumped: bool = False):
+def compute_current(fes: FESpace, ctx: Dict, phi, a_mode: str = "exact"):
     """J = A^{-1} B^T phi for all groups: the physical current DOFs (J = -D grad phi)."""
     J = {}
     for di in fes.dirs:
@@ -141,7 +166,7 @@ def compute_current(fes: FESpace, ctx: Dict, phi, lumped: bool = False):
             ctx[f"alpha_{key}"],
             rF,
             rW,
-            lumped,
+            a_mode,
         )
         J[key] = {"face": F} if W is None else {"face": F, "bub": W}
     return J
@@ -166,8 +191,9 @@ def power_iteration(
     and convergence is on the flux only.
     """
     dtype = phi0.dtype
-    use_cheby = opts.accel == "chebyshev"
-    use_anderson = opts.accel == "anderson"
+    # Chebyshev is applied only when CMFD is off (reference NeutFEM.cpp:1786-1788)
+    use_cheby = opts.accel == "chebyshev" and not opts.use_cmfd
+    use_anderson = opts.accel == "anderson" and not opts.use_cmfd
     cheby_from = 5 if adjoint else 2  # reference NeutFEM.cpp:1786 vs :1990
 
     cheb0 = chebyshev_init(phi0)
@@ -200,6 +226,16 @@ def power_iteration(
             res = group_solve(fes, ctxg, opts, rhs, x0)
             phi = phi.at[g].set(res.x)
             inner_iters = inner_iters + res.iterations
+
+        if opts.use_cmfd and not adjoint:
+            # CMFD correction from iter >= cmfd_from_iter, BEFORE the k-update
+            # (reference ordering, NeutFEM.cpp:1750-1761).
+            def do_cmfd(p):
+                Jc = compute_current(fes, ctx, p, a_mode=opts.a_mode)
+                ratio = cmfd_correction(fes, ctx, p, Jc, keff, omega=opts.cmfd_omega)
+                return p * ratio[..., None]
+
+            phi = lax.cond(it >= opts.cmfd_from_iter, do_cmfd, lambda p: p, phi)
 
         prod_new = _production(ctx, phi, adjoint)
         safe_old = jnp.where(prod_old == 0, 1.0, prod_old)
@@ -258,7 +294,7 @@ def power_iteration(
         outer_cond, outer_body, carry0
     )
 
-    J = compute_current(fes, ctx, phi, lumped=opts.lumped)
+    J = compute_current(fes, ctx, phi, a_mode=opts.a_mode)
     return {
         "keff": keff,
         "phi": phi,
@@ -328,7 +364,7 @@ def fixed_source_solve(
     phi, it, diff, inner_tot = lax.while_loop(
         outer_cond, outer_body, (phi0, jnp.asarray(0, jnp.int32), one, jnp.asarray(0, jnp.int32))
     )
-    J = compute_current(fes, ctx, phi, lumped=opts.lumped)
+    J = compute_current(fes, ctx, phi, a_mode=opts.a_mode)
     return {
         "phi": phi,
         "J": J,

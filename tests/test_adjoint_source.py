@@ -53,7 +53,7 @@ def dense_HF(oracle, xs, ng):
 
 def test_adjoint_keff_equals_direct():
     mesh, fes, ng, xs, bcs = build_2d_problem()
-    ctx = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
     opts = SolveOptions(tol_keff=1e-10, tol_flux=1e-8, inner_tol=1e-12)
     phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
 
@@ -64,7 +64,7 @@ def test_adjoint_keff_equals_direct():
 
 def test_adjoint_flux_is_left_eigenvector():
     mesh, fes, ng, xs, bcs = build_2d_problem(nx=5, ny=4)
-    ctx = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
     oracle = DenseOracle(fes, ng, xs, bcs)
     H, F = dense_HF(oracle, xs, ng)
 
@@ -86,7 +86,7 @@ def test_adjoint_flux_is_left_eigenvector():
 def test_adjoint_fixed_keff_mode():
     """use_direct_keff mode: k held at the direct value, flux still converges."""
     mesh, fes, ng, xs, bcs = build_2d_problem()
-    ctx = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
     opts = SolveOptions(tol_keff=1e-10, tol_flux=1e-9, inner_tol=1e-12)
     phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
 
@@ -100,7 +100,7 @@ def test_adjoint_fixed_keff_mode():
 
 def test_biorthogonal_normalization():
     mesh, fes, ng, xs, bcs = build_2d_problem()
-    ctx = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
     opts = SolveOptions(tol_keff=1e-10, tol_flux=1e-9, inner_tol=1e-12)
     phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
     phi = power_iteration(fes, ng, opts, ctx, phi0, 1.0)["phi"]
@@ -122,7 +122,7 @@ def _subcritical_problem():
 
 def test_fixed_source_matches_dense_solve():
     mesh, fes, ng, xs, bcs = _subcritical_problem()
-    ctx = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
     oracle = DenseOracle(fes, ng, xs, bcs)
     H, F = dense_HF(oracle, xs, ng)
 
@@ -143,7 +143,7 @@ def test_fixed_source_matches_dense_solve():
 
 def test_subcritical_amplification():
     mesh, fes, ng, xs, bcs = _subcritical_problem()
-    ctx = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
     opts = SolveOptions(tol_flux=1e-11, inner_tol=1e-13, max_outer=500, accel="none")
     phi0 = jnp.zeros((ng, *mesh.shape, fes.P), dtype=DT)
     res = solve_subcritical(fes, ng, opts, ctx, phi0)

@@ -1,0 +1,96 @@
+"""Literature-benchmark parity tests (the reference's validation strategy, made into
+real assertions — SURVEY §4).
+
+Two layers of assertion per case:
+* |k - k_pinned| tight: regression against this framework's own converged discrete
+  eigenvalue (recorded from float64 CPU runs at tol 1e-6/1e-5);
+* |pcm vs literature k_ref| within the discretization error of that mesh level —
+  the sequence tightens with refinement (IAEA-2D: -90 pcm @1x1, -20 @4x4,
+  -0.7 @8x8), demonstrating convergence to the published eigenvalue.
+
+Note: the reference README claims sub-pcm accuracy at 4x4, but its shipped module
+cannot be built/imported (SURVEY §2.4) and our operator is verified against an
+independent dense-quadrature oracle + analytic slabs — the 4x4 discrete eigenvalue
+is simply ~-20 pcm from the continuum; sub-pcm arrives at 8x8.
+"""
+
+import numpy as np
+import pytest
+
+from benchmarks.data import BENCHMARKS, IAEA2D_POWER_MAP
+from benchmarks.runner import BenchmarkRun
+
+TOL = (1e-6, 1e-5, 1e-5, 300, 1000)
+
+
+def _run(name, n, nz=1, **kw):
+    run = BenchmarkRun(BENCHMARKS[name], mesh_n=n, mesh_nz=nz)
+    run.solve(tol=TOL, **kw)
+    return run
+
+
+def test_iaea2d_4x4():
+    run = _run("iaea2d", 4)
+    assert run.keff == pytest.approx(1.029375, abs=3e-5)
+    assert abs(run.pcm) < 25.0
+    # assembly power factors vs the published IAEA map (iaea2d.py:481-501)
+    dev = run.power_deviation(IAEA2D_POWER_MAP)
+    assert np.nanmax(np.abs(dev)) < 8.0  # percent (worst: low-power rodded periphery)
+
+
+def test_iaea2d_8x8_subpcm():
+    """Headline parity: sub-pcm agreement with the literature eigenvalue."""
+    run = _run("iaea2d", 8)
+    assert abs(run.pcm) < 2.0
+    dev = run.power_deviation(IAEA2D_POWER_MAP)
+    assert np.nanmax(np.abs(dev)) < 3.0
+
+
+def test_iaea2d_mesh_convergence():
+    pcms = [abs(_run("iaea2d", n).pcm) for n in (1, 2, 4)]
+    assert pcms[0] > pcms[1] > pcms[2]
+    assert pcms[0] == pytest.approx(90.1, abs=3.0)
+
+
+def test_biblis2d():
+    run = _run("biblis2d", 4)
+    assert run.keff == pytest.approx(1.025198, abs=3e-5)
+    assert abs(run.pcm) < 15.0
+
+
+def test_koeberg2d_4group_upscatter():
+    run = _run("koeberg2d", 2)
+    assert run.keff == pytest.approx(1.008680, abs=5e-5)
+    assert abs(run.pcm) < 90.0
+    flux = run.solver.get_flux()
+    assert flux.shape[0] == 4
+    assert np.isfinite(flux).all()
+
+
+def test_zion2d_baffle():
+    run = _run("zion2d", 2)
+    assert run.keff == pytest.approx(1.277192, abs=5e-5)
+    assert abs(run.pcm) < 160.0
+    # the baffle detection must have produced steel cells distinct from water
+    grid = run.grid
+    assert (grid == ".").sum() > 0  # water + baffle cells exist in the layout
+
+
+def test_iaea3d():
+    run = _run("iaea3d", 1)
+    assert run.keff == pytest.approx(1.027866, abs=5e-5)
+    assert abs(run.pcm) < 130.0
+
+
+def test_iaea2d_adjoint_consistency():
+    run = _run("iaea2d", 2, adjoint=True)
+    assert run.keff_adj == pytest.approx(run.keff, abs=1e-6)
+
+
+def test_iaea2d_quarter_domain():
+    """quart_so domain with the driver's MIRROR/DIRICHLET BCs reproduces the full
+    core eigenvalue (the reference cannot do this: its MIRROR is a silent no-op)."""
+    full = _run("iaea2d", 2)
+    q = BenchmarkRun(BENCHMARKS["iaea2d"], mesh_n=2, domain="quart_so")
+    q.solve(tol=TOL)
+    assert q.keff == pytest.approx(full.keff, abs=5e-6)

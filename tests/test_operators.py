@@ -24,7 +24,7 @@ from oracle import DenseOracle
 DT = config.real_dtype
 
 
-def make_problem(dim, k, m, bc_kind, seed=0, lumped=False):
+def make_problem(dim, k, m, bc_kind, seed=0, a_mode="exact"):
     rng = np.random.default_rng(seed)
 
     def breaks(n):
@@ -60,7 +60,7 @@ def make_problem(dim, k, m, bc_kind, seed=0, lumped=False):
         # vacuum side so the Schur operator is invertible.
         bcs.set(boundary_attribute(mesh.dim, 0, True), BCKind.DIRICHLET)
 
-    ctx = build_context(fes, ng, xs, bcs, lumped=lumped, dtype=DT)
+    ctx = build_context(fes, ng, xs, bcs, a_mode=a_mode, dtype=DT)
     oracle = DenseOracle(fes, ng, xs, bcs)
     return mesh, fes, ng, ctx, oracle
 
@@ -105,7 +105,7 @@ def test_solve_A_matches_dense(dim, k, m, bc):
             ctx[f"alpha_{key}"][g][None],
             rF,
             rWj,
-            lumped=False,
+            "exact",
         )
         sol[key] = (np.asarray(F[0]), None if W is None else np.asarray(W[0]))
 
@@ -120,7 +120,7 @@ def test_schur_matvec_matches_dense(dim, k, m, bc):
     rng = np.random.default_rng(3)
 
     v = rng.normal(size=(ng, *mesh.shape, fes.P))
-    out = np.asarray(schur_matvec(fes, ctx, jnp.asarray(v, dtype=DT), lumped=False))
+    out = np.asarray(schur_matvec(fes, ctx, jnp.asarray(v, dtype=DT), a_mode="exact"))
 
     for g in range(ng):
         S = oracle.schur(g)
@@ -170,7 +170,7 @@ def test_lumped_rt0_is_mesh_centered_fd():
     bcs = BCSpec()
     bcs.set(1, BCKind.DIRICHLET)
     bcs.set(2, BCKind.DIRICHLET)
-    ctx = build_context(fes, ng, xs, bcs, lumped=True, dtype=DT)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="lumped", dtype=DT)
 
     # dense FD matrix
     d = D[0, 0, 0]
@@ -189,5 +189,5 @@ def test_lumped_rt0_is_mesh_centered_fd():
             S[e, e + 1] = -W[e + 1]
 
     v = rng.normal(size=(1, 1, 1, n, 1))
-    out = np.asarray(schur_matvec(fes, ctx, jnp.asarray(v, dtype=DT), lumped=True))
+    out = np.asarray(schur_matvec(fes, ctx, jnp.asarray(v, dtype=DT), a_mode="lumped"))
     np.testing.assert_allclose(out[0, 0, 0, :, 0], S @ v[0, 0, 0, :, 0], rtol=1e-10)

@@ -72,7 +72,7 @@ def build_2d_problem(nx=6, ny=5, k=0, m=0, seed=1):
 @pytest.mark.parametrize("accel", ["none", "chebyshev", "anderson"])
 def test_keff_matches_dense_eig_2d_rt0(accel):
     mesh, fes, ng, xs, bcs = build_2d_problem()
-    ctx = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
     oracle = DenseOracle(fes, ng, xs, bcs)
     k_ref = dense_keff(oracle, xs, ng)
 
@@ -85,7 +85,7 @@ def test_keff_matches_dense_eig_2d_rt0(accel):
 
 def test_keff_matches_dense_eig_2d_rt1():
     mesh, fes, ng, xs, bcs = build_2d_problem(nx=4, ny=4, k=1, m=1)
-    ctx = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
     oracle = DenseOracle(fes, ng, xs, bcs)
     k_ref = dense_keff(oracle, xs, ng)
 
@@ -95,14 +95,52 @@ def test_keff_matches_dense_eig_2d_rt1():
     assert abs(float(res["keff"]) - k_ref) < 5e-9
 
 
+def test_diag_mode_matches_reference_diagonal_schur():
+    """a_mode="diag" must reproduce the reference's RT0-P0 "diagonal Schur" scheme
+    exactly: the group solve keeps ONLY the diagonal S_ee = C_ee + sum_f B_ef^2/A_ff
+    (NeutFEM.cpp:459-473, 607-634) — inter-element coupling is dropped entirely, so
+    this path trades accuracy for an O(n) solve; we replicate it for API parity."""
+    mesh, fes, ng, xs, bcs = build_2d_problem()
+    ctx = build_context(fes, ng, xs, bcs, a_mode="diag", dtype=DT)
+    oracle = DenseOracle(fes, ng, xs, bcs)
+
+    # dense eigenvalue of the reference scheme: diagonal-only Schur per group
+    n = oracle.n_phi
+    detJ = oracle.mesh.det_jac()
+
+    def schur_diag(g):
+        Ad = np.diag(1.0 / np.diag(oracle.A[g]))
+        S = oracle.C[g] + oracle.B @ Ad @ oracle.B.T
+        return np.diag(np.diag(S))
+
+    H = np.zeros((ng * n, ng * n))
+    F = np.zeros((ng * n, ng * n))
+    for g in range(ng):
+        H[g * n : (g + 1) * n, g * n : (g + 1) * n] = schur_diag(g)
+        chi_g = np.repeat(np.asarray(xs["Chi"][g]).reshape(-1), fes.P)
+        for gp in range(ng):
+            w = (xs["SigS"][g, gp][..., None] * detJ[..., None] * fes.w_mode).reshape(-1)
+            if gp != g:
+                H[g * n : (g + 1) * n, gp * n : (gp + 1) * n] -= np.diag(w)
+            wf = (xs["NSF"][gp][..., None] * detJ[..., None] * fes.w_mode).reshape(-1)
+            F[g * n : (g + 1) * n, gp * n : (gp + 1) * n] = chi_g[:, None] * np.diag(wf)
+    k_ref = float(np.max(scipy.linalg.eigvals(np.linalg.solve(H, F)).real))
+
+    opts = SolveOptions(tol_keff=1e-11, tol_flux=1e-9, a_mode="diag")
+    phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
+    res = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
+    assert abs(float(res["keff"]) - k_ref) < 5e-9
+    assert int(res["inner_iterations"]) == 0  # O(n) direct path, no CG at all
+
+
 def test_lumped_matches_dense_fd_eig():
     mesh, fes, ng, xs, bcs = build_2d_problem()
-    ctx = build_context(fes, ng, xs, bcs, lumped=True, dtype=DT)
-    opts = SolveOptions(tol_keff=1e-10, tol_flux=1e-8, inner_tol=1e-12, lumped=True)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="lumped", dtype=DT)
+    opts = SolveOptions(tol_keff=1e-10, tol_flux=1e-8, inner_tol=1e-12, a_mode="lumped")
     phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
     res = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
     # lumped (FD) eigenvalue must be close to, but distinct from, the consistent one
-    ctx2 = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+    ctx2 = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
     res2 = power_iteration(fes, ng, SolveOptions(tol_keff=1e-10, tol_flux=1e-8,
                                                  inner_tol=1e-12), ctx2, phi0, 1.0)
     assert abs(float(res["keff"]) - float(res2["keff"])) < 0.05
@@ -141,7 +179,7 @@ def test_1d_slab_analytic_convergence():
         bcs = BCSpec()
         bcs.set(1, BCKind.DIRICHLET)
         bcs.set(2, BCKind.DIRICHLET)
-        ctx = build_context(fes, ng, xs, bcs, lumped=False, dtype=DT)
+        ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
         opts = SolveOptions(tol_keff=1e-11, tol_flux=1e-9, inner_tol=1e-13)
         phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
         res = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
@@ -175,7 +213,7 @@ def test_mirror_halving_symmetry():
         bcs = BCSpec()
         bcs.set(1, BCKind.DIRICHLET)
         bcs.set(2, right_bc)
-        ctx = build_context(fes, 1, xs, bcs, lumped=False, dtype=DT)
+        ctx = build_context(fes, 1, xs, bcs, a_mode="exact", dtype=DT)
         opts = SolveOptions(tol_keff=1e-11, tol_flux=1e-9, inner_tol=1e-13)
         phi0 = jnp.ones((1, *mesh.shape, fes.P), dtype=DT)
         return float(power_iteration(fes, 1, opts, ctx, phi0, 1.0)["keff"])
