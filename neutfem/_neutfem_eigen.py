@@ -113,21 +113,13 @@ _SOLVER_NAMES = {
     LinearSolverType.LCG: "LeastSquaresConjugateGradient",
 }
 
-# On TPU every variant maps onto one of the two matrix-free Krylov kernels; the Schur
-# complement is SPD so CG is the workhorse (direct factorizations have no sparse-LU
-# analogue in this matrix-free design — they alias to tightly-converged CG).
-_SOLVER_KIND = {
-    LinearSolverType.DIRECT_LU: "cg",
-    LinearSolverType.DIRECT_LDLT: "cg",
-    LinearSolverType.DIRECT_LLT: "cg",
-    LinearSolverType.CG: "cg",
-    LinearSolverType.CG_DIAG: "cg",
-    LinearSolverType.CG_ICHOL: "cg",
-    LinearSolverType.BICGSTAB: "bicgstab",
-    LinearSolverType.BICGSTAB_DIAG: "bicgstab",
-    LinearSolverType.BICGSTAB_ILU: "bicgstab",
-    LinearSolverType.LCG: "cg",
-}
+# On TPU every variant maps onto the equilibrated CG kernel: the Schur complement is
+# SPD, for which CG is optimal (direct factorizations have no sparse-LU analogue in
+# this matrix-free design).  The BiCGSTAB kernel exists in neutfem_tpu.krylov for
+# non-symmetric operators, but is NOT used here: its unsymmetric recurrences overflow
+# under the TPU's emulated float64 on problems with ~1e15 void absorbers (IAEA-3D
+# filler cells), while CG with symmetric Jacobi equilibration is robust.
+_SOLVER_KIND = {t: "cg" for t in LinearSolverType}
 
 
 def _subcell_average_matrix(order: int, r: int) -> np.ndarray:
@@ -210,6 +202,7 @@ class NeutFEM:
         self._max_inner = 1000
         self._verbosity = VerbosityLevel.NORMAL
         self._cmfd_omega = 1.0
+        self._accel = "chebyshev"  # reference hardwires Chebyshev (NeutFEM.cpp:1673)
 
         self._ctx_cache: Dict[str, Dict] = {}
         self._built = False
@@ -262,6 +255,7 @@ class NeutFEM:
             inner_tol=self._tol_flux,
             max_outer=self._max_outer,
             max_inner=self._max_inner,
+            accel=self._accel,
             a_mode=a_mode,
             inner_solver=_SOLVER_KIND[self._solver_type],
             use_cmfd=use_cmfd,
@@ -318,6 +312,16 @@ class NeutFEM:
     def set_cmfd_relaxation(self, omega: float):
         self._cmfd_omega = float(omega)
 
+    def set_acceleration(self, kind: str):
+        """Extension beyond the reference wrapper: choose the outer-iteration
+        accelerator ("chebyshev" — the reference's hardwired choice — "anderson",
+        or "none").  Anderson is advertised by the reference but shipped as dead
+        code (solvers.cpp:772-891); here it is first-class."""
+        kind = str(kind).lower()
+        if kind not in ("chebyshev", "anderson", "none"):
+            raise ValueError(f"unknown acceleration {kind!r}")
+        self._accel = kind
+
     def apply_quarter_symmetry(self, axis1: int = 0, axis2: int = 1):
         """Reference behavior (NeutFEM.cpp:356-362): set MIRROR on the two cut planes
         of a quarter core and record the flag (drivers then override BCs explicitly)."""
@@ -343,6 +347,87 @@ class NeutFEM:
 
     def clean_refl(self, *args, **kwargs):
         return None
+
+    # -- observability / health (SURVEY §5 aux subsystems) --------------------
+
+    def _maybe_profile(self, label: str):
+        """jax.profiler trace around a solve when NEUTFEM_PROFILE=<dir> is set
+        (TPU-native analogue of the reference's chrono spans, NeutFEM.cpp:1688)."""
+        import contextlib
+        import os
+
+        trace_dir = os.environ.get("NEUTFEM_PROFILE")
+        if not trace_dir:
+            return contextlib.nullcontext()
+        return jax.profiler.trace(trace_dir)
+
+    def _check_health(self, keff: float, phi, what: str):
+        """Numerical guard: the reference throws on singular factorizations
+        (solvers.cpp:164-167); here divergence shows up as non-finite or absurd
+        results — warn loudly instead of returning garbage."""
+        import warnings
+
+        finite = bool(jnp.isfinite(phi).all()) and np.isfinite(keff)
+        if not finite:
+            warnings.warn(
+                f"{what} produced non-finite results (keff={keff}); the system may "
+                "be ill-posed (e.g. supercritical fixed-source problem) or the "
+                "tolerances too loose", RuntimeWarning, stacklevel=3,
+            )
+        elif keff <= 0 or keff > 10.0:
+            warnings.warn(
+                f"{what} converged to an implausible eigenvalue keff={keff}",
+                RuntimeWarning, stacklevel=3,
+            )
+
+    # -- checkpoint / resume (new scope; the reference has none — SURVEY §5) --
+
+    def save_state(self, path: str):
+        """Persist the solver state (flux, adjoint, currents, eigenvalues) to .npz."""
+        data = {"keff": np.array(self._keff if self._keff is not None else np.nan),
+                "keff_adj": np.array(self._keff_adj if self._keff_adj is not None else np.nan)}
+        if self._phi is not None:
+            data["phi"] = np.asarray(self._phi)
+        if self._phi_adj is not None:
+            data["phi_adj"] = np.asarray(self._phi_adj)
+        for jname, J in (("J", self._J), ("J_adj", self._J_adj)):
+            if J is None:
+                continue
+            for dkey, entry in J.items():
+                for part, arr in entry.items():
+                    data[f"{jname}_{dkey}_{part}"] = np.asarray(arr)
+        np.savez_compressed(path, **data)
+
+    def load_state(self, path: str):
+        """Restore a state saved with save_state (warm-starts subsequent solves)."""
+        with np.load(path) as z:
+            expected = (self._ng, *self._mesh.shape, self._fes.P)
+            if "phi" in z and tuple(z["phi"].shape) != expected:
+                raise ValueError(
+                    f"checkpoint flux shape {z['phi'].shape} does not match this "
+                    f"solver's {expected} (mesh/groups/order differ)"
+                )
+            if "phi" in z:
+                self._phi = jnp.asarray(z["phi"], dtype=self._dtype)
+            if "phi_adj" in z:
+                self._phi_adj = jnp.asarray(z["phi_adj"], dtype=self._dtype)
+            k = float(z["keff"])
+            self._keff = None if np.isnan(k) else k
+            ka = float(z["keff_adj"])
+            self._keff_adj = None if np.isnan(ka) else ka
+            J: Dict = {}
+            J_adj: Dict = {}
+            for key in z.files:
+                if key.startswith("J_adj_"):
+                    rest = key[len("J_adj_"):]
+                    dkey, part = rest.rsplit("_", 1)
+                    J_adj.setdefault(dkey, {})[part] = jnp.asarray(z[key], dtype=self._dtype)
+                elif key.startswith("J_"):
+                    rest = key[len("J_"):]
+                    dkey, part = rest.rsplit("_", 1)
+                    J.setdefault(dkey, {})[part] = jnp.asarray(z[key], dtype=self._dtype)
+            self._J = J or None
+            self._J_adj = J_adj or None
 
     # -- assembly ------------------------------------------------------------
 
@@ -387,13 +472,15 @@ class NeutFEM:
             self._log(VerbosityLevel.NORMAL, f"  coarse init: k-eff = {keff0:.6f}")
 
         t0 = time.time()
-        res = self._solver_fn(opts, False, False)(ctx, phi0, keff0)
-        keff = float(res["keff"])
+        with self._maybe_profile("SolveKeff"):
+            res = self._solver_fn(opts, False, False)(ctx, phi0, keff0)
+            keff = float(res["keff"])
         self._phi = res["phi"]
         self._J = res["J"]
         self._keff = keff
         self._last_outers = int(res["outer_iterations"])
         self._last_inners = int(res["inner_iterations"])
+        self._check_health(keff, res["phi"], "SolveKeff")
         self._log(
             VerbosityLevel.NORMAL,
             f"SolveKeff: k-eff = {keff:.6f} in {int(res['outer_iterations'])} outer / "
@@ -443,6 +530,14 @@ class NeutFEM:
         self._phi = res["phi"]
         self._J = res["J"]
         amp = float(res["amplification"])
+        import warnings
+
+        if not (np.isfinite(amp) and bool(jnp.isfinite(res["phi"]).all())) or amp > 1e6:
+            warnings.warn(
+                f"SolveSubcritical diverged (amplification M = {amp:.3e}): the system "
+                "is supercritical (k >= 1) — the fixed-source problem has no bounded "
+                "solution", RuntimeWarning, stacklevel=2,
+            )
         self._log(VerbosityLevel.NORMAL, f"SolveSubcritical: amplification M = {amp:.4f}")
         return amp
 

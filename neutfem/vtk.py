@@ -47,6 +47,44 @@ def write_vtk(
         zb = np.array([0.0, 1.0])
 
     n_cells = nx * ny * nz
+
+    # assemble the field lists once; write with the native buffered writer when
+    # the C++ host library is built, else with the python writer below
+    scalar_fields = []
+    vector_fields = []
+    if flux is not None:
+        for g in range(flux.shape[0]):
+            scalar_fields.append((f"Flux_g{g}", flux[g]))
+        scalar_fields.append(("Flux_total", flux.sum(axis=0)))
+    if flux_adj is not None:
+        for g in range(flux_adj.shape[0]):
+            scalar_fields.append((f"Flux_adj_g{g}", flux_adj[g]))
+    if current is not None:
+        for g in range(current.shape[0]):
+            vector_fields.append((f"Current_g{g}", current[g]))
+    if xs is not None:
+        for key, prefix in [("D", "D_g"), ("SigR", "SigmaR_g"), ("NSF", "NuSigF_g"),
+                            ("Chi", "Chi_g"), ("KSF", "KappaSigF_g"),
+                            ("SRC", "Source_g")]:
+            arr = xs.get(key)
+            if arr is None:
+                continue
+            for g in range(arr.shape[0]):
+                scalar_fields.append((f"{prefix}{g}", arr[g]))
+        sigs = xs.get("SigS")
+        if sigs is not None:
+            ng = sigs.shape[0]
+            for gf in range(ng):
+                for gt in range(ng):
+                    scalar_fields.append((f"SigS_{gf}_to_{gt}", sigs[gt, gf]))
+
+    from neutfem_tpu.native import write_vtk_native
+
+    if write_vtk_native(filename, f"NeutFEM Output - k-eff={keff:.6f}",
+                        xb, yb[:ny_p], zb[:nz_p], n_cells,
+                        scalar_fields, vector_fields):
+        return filename
+
     with open(filename, "w") as f:
         f.write("# vtk DataFile Version 3.0\n")
         f.write(f"NeutFEM Output - k-eff={keff:.6f}\n")
@@ -60,41 +98,10 @@ def write_vtk(
                     f.write(f"{x} {y} {z}\n")
 
         f.write(f"\nCELL_DATA {n_cells}\n")
-
-        if flux is not None:
-            for g in range(flux.shape[0]):
-                _write_scalar(f, f"Flux_g{g}", flux[g])
-            _write_scalar(f, "Flux_total", flux.sum(axis=0))
-
-        if flux_adj is not None:
-            for g in range(flux_adj.shape[0]):
-                _write_scalar(f, f"Flux_adj_g{g}", flux_adj[g])
-
-        if current is not None:
-            for g in range(current.shape[0]):
-                f.write(f"VECTORS Current_g{g} double\n")
-                vec = np.asarray(current[g], dtype=np.float64).reshape(-1, 3)
-                np.savetxt(f, vec, fmt="%.10g")
-
-        if xs is not None:
-            names = [
-                ("D", "D_g"),
-                ("SigR", "SigmaR_g"),
-                ("NSF", "NuSigF_g"),
-                ("Chi", "Chi_g"),
-                ("KSF", "KappaSigF_g"),
-                ("SRC", "Source_g"),
-            ]
-            for key, prefix in names:
-                arr = xs.get(key)
-                if arr is None:
-                    continue
-                for g in range(arr.shape[0]):
-                    _write_scalar(f, f"{prefix}{g}", arr[g])
-            sigs = xs.get("SigS")
-            if sigs is not None:
-                ng = sigs.shape[0]
-                for gf in range(ng):
-                    for gt in range(ng):
-                        _write_scalar(f, f"SigS_{gf}_to_{gt}", sigs[gt, gf])
+        for name, values in scalar_fields:
+            _write_scalar(f, name, values)
+        for name, values in vector_fields:
+            f.write(f"VECTORS {name} double\n")
+            vec = np.asarray(values, dtype=np.float64).reshape(-1, 3)
+            np.savetxt(f, vec, fmt="%.10g")
     return filename

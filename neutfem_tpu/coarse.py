@@ -42,15 +42,11 @@ def default_coarse_factors(mesh: CartesianMesh, max_factor: int = 4) -> Tuple[in
 
 
 def _block_mean(a: np.ndarray, factors, weights: np.ndarray) -> np.ndarray:
-    """Volume-weighted block mean over trailing (nz, ny, nx) axes."""
-    lead = a.shape[: a.ndim - 3]
-    nz, ny, nx = a.shape[-3:]
-    rz, ry, rx = factors[2], factors[1], factors[0]
-    a6 = a.reshape(*lead, nz // rz, rz, ny // ry, ry, nx // rx, rx)
-    w6 = weights.reshape(nz // rz, rz, ny // ry, ry, nx // rx, rx)
-    num = (a6 * w6).sum(axis=(-5, -3, -1))
-    den = w6.sum(axis=(-5, -3, -1))
-    return num / den
+    """Volume-weighted block mean over trailing (nz, ny, nx) axes (native kernel
+    when built, numpy otherwise — see neutfem_tpu.native)."""
+    from .native import block_mean
+
+    return block_mean(a, weights, factors)
 
 
 def coarsen_xs(mesh: CartesianMesh, xs: Dict[str, np.ndarray], factors) -> Tuple[CartesianMesh, Dict]:

@@ -136,19 +136,18 @@ def build_context(
                 raise NotImplementedError("PERIODIC boundary conditions not yet supported")
             # BCKind.NONE: natural => zero boundary flux, no term (reference default)
 
-        # --- LDL^T factorization along the face axis (host, once) ----------
+        # --- LDL^T factorization along the face axis (host, once; native) ---
         if a_mode in ("lumped", "diag"):
             dinv = 1.0 / diag
             l = None
         else:
-            dd = np.moveaxis(diag, fax, 0).copy()  # (n_faces, ...)
-            bb = np.moveaxis(offd, fax, 0)  # (n_faces - 1, ...)
-            ll = np.zeros_like(bb)
-            for i in range(n_faces - 1):
-                ll[i] = bb[i] / dd[i]
-                dd[i + 1] = dd[i + 1] - bb[i] * ll[i]
-            dinv = np.moveaxis(1.0 / dd, 0, fax)
-            l = np.moveaxis(ll, 0, fax)
+            from ..native import tridiag_ldlt_batch
+
+            dd = np.moveaxis(diag, fax, -1)  # (..., n_faces)
+            bb = np.moveaxis(offd, fax, -1)  # (..., n_faces - 1)
+            dinv_l, ll = tridiag_ldlt_batch(dd, bb)
+            dinv = np.moveaxis(dinv_l, -1, fax)
+            l = np.moveaxis(ll, -1, fax)
 
         ctx_np[f"alpha_{key}"] = alpha
         ctx_np[f"tri_dinv_{key}"] = dinv
