@@ -51,12 +51,15 @@ class BenchmarkRun:
     """Holds the solver + results of one benchmark execution."""
 
     def __init__(self, spec: BenchmarkSpec, mesh_n: int = 2, mesh_nz: int = 1,
-                 domain: str = "entier", verbose: bool = False):
+                 domain: str = "entier", verbose: bool = False,
+                 rt_order: int = 0, p_order: Optional[int] = None):
         self.spec = spec
         self.mesh_n = mesh_n
         self.mesh_nz = mesh_nz
         self.domain = domain
         self.verbose = verbose
+        self.rt_order = int(rt_order)
+        self.p_order = int(p_order) if p_order is not None else self.rt_order
         self.keff: Optional[float] = None
         self.keff_adj: Optional[float] = None
         self.Fass: Optional[np.ndarray] = None
@@ -88,7 +91,11 @@ class BenchmarkRun:
         x_breaks = np.linspace(0.0, nx * h, nx + 1)
         y_breaks = np.linspace(0.0, ny * h, ny + 1)
 
-        s = NeutFEM(0, spec.ng, x_breaks, y_breaks, z_breaks)
+        if self.rt_order == self.p_order:
+            s = NeutFEM(self.rt_order, spec.ng, x_breaks, y_breaks, z_breaks)
+        else:
+            s = NeutFEM(self.rt_order, self.p_order, spec.ng, x_breaks, y_breaks,
+                        z_breaks)
         s.set_verbosity(VerbosityLevel.NORMAL if self.verbose else VerbosityLevel.SILENT)
         s.set_linear_solver(LinearSolverType.BICGSTAB)
 
@@ -232,9 +239,11 @@ def run_benchmark(name: str, mesh_n: int = 2, mesh_nz: int = 1, domain: str = "e
                   adjoint: bool = False, use_coarse_init: bool = False,
                   coarse_factors=(), tol=(1e-5, 1e-4, 1e-4, 200, 1000),
                   verbose: bool = False, use_cmfd: bool = False,
-                  use_diagonal_solver: bool = False) -> BenchmarkRun:
+                  use_diagonal_solver: bool = False, rt_order: int = 0,
+                  p_order: Optional[int] = None) -> BenchmarkRun:
     run = BenchmarkRun(BENCHMARKS[name], mesh_n=mesh_n, mesh_nz=mesh_nz,
-                       domain=domain, verbose=verbose)
+                       domain=domain, verbose=verbose, rt_order=rt_order,
+                       p_order=p_order)
     run.solve(tol=tol, adjoint=adjoint, use_coarse_init=use_coarse_init,
               coarse_factors=coarse_factors, use_cmfd=use_cmfd,
               use_diagonal_solver=use_diagonal_solver)
@@ -246,6 +255,9 @@ def main(name: str, argv: Optional[Sequence[str]] = None):
     p.add_argument("--mesh", default="2x2", help="NxN subdivision per assembly")
     p.add_argument("--mesh-z", type=int, default=1, help="axial subdivisions per plane (3D)")
     p.add_argument("--domain", default="entier")
+    p.add_argument("--order", type=int, default=None, help="RT_k-P_k order")
+    p.add_argument("--rt-order", type=int, default=0)
+    p.add_argument("--p-order", type=int, default=None)
     p.add_argument("--adjoint", action="store_true")
     p.add_argument("--coarse", action="store_true", help="use coarse-grid init")
     p.add_argument("--cmfd", action="store_true")
@@ -261,8 +273,10 @@ def main(name: str, argv: Optional[Sequence[str]] = None):
         from neutfem_tpu.coarse import default_coarse_factors
         cf = None  # computed after build
 
+    rt = args.order if args.order is not None else args.rt_order
+    po = args.order if args.order is not None else args.p_order
     run = BenchmarkRun(spec, mesh_n=n, mesh_nz=args.mesh_z, domain=args.domain,
-                       verbose=args.verbose)
+                       verbose=args.verbose, rt_order=rt, p_order=po)
     if args.coarse:
         from neutfem_tpu.coarse import default_coarse_factors
         cf = list(default_coarse_factors(run.solver._mesh))

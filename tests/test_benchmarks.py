@@ -82,6 +82,15 @@ def test_iaea3d():
     assert abs(run.pcm) < 130.0
 
 
+def test_iaea2d_rt1p1():
+    """BASELINE config 'IAEA-2D RT1-P1': higher order reaches near-reference
+    accuracy at half the mesh of RT0 (-2.6 pcm at 2x2 vs -20 pcm RT0 at 4x4)."""
+    run = BenchmarkRun(BENCHMARKS["iaea2d"], mesh_n=2, rt_order=1)
+    run.solve(tol=TOL)
+    assert run.keff == pytest.approx(1.029557, abs=3e-5)
+    assert abs(run.pcm) < 6.0
+
+
 def test_iaea2d_adjoint_consistency():
     run = _run("iaea2d", 2, adjoint=True)
     assert run.keff_adj == pytest.approx(run.keff, abs=1e-6)
