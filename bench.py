@@ -49,6 +49,8 @@ def main(mesh_n: int = 2, mesh_nz: int = 2) -> dict:
 
     pcm = 1e5 * (1.0 / spec.kref - 1.0 / keff)
     per_outer = wall / max(outers or 1, 1)
+    inners = run.solver._last_inners
+    dofs_per_s = run.solver._fes.n_phi * spec.ng * inners / wall
     baseline_per_outer = CPU_SECONDS_PER_CELL_PER_OUTER * n_cells
     out = {
         "metric": "iaea3d_seconds_per_outer_iteration",
@@ -61,6 +63,8 @@ def main(mesh_n: int = 2, mesh_nz: int = 2) -> dict:
             "pcm": round(pcm, 2),
             "n_cells": n_cells,
             "outer_iterations": outers,
+            "inner_iterations": inners,
+            "schur_cg_dofs_per_s": round(dofs_per_s, 1),
             "solve_wall_s": round(wall, 3),
             "mesh": f"{mesh_n}x{mesh_n}x{mesh_nz}",
         },

@@ -125,6 +125,18 @@ class BenchmarkRun:
                         BoundaryID.BOTTOM_2D):
                 kind = BCType.MIRROR if bid in cut else BCType.DIRICHLET
                 s.set_bc(int(bid), kind, 0.0)
+        elif self.domain.startswith("moitie"):
+            # half domains: one MIRROR cut plane, vacuum elsewhere
+            cut = {
+                "moitie_s": BoundaryID.BOTTOM_2D,  # rows [h:] -> cut at low y
+                "moitie_n": BoundaryID.TOP_2D,     # rows [:h] -> cut at high y
+                "moitie_o": BoundaryID.RIGHT_2D,   # cols [:h] -> cut at high x
+                "moitie_e": BoundaryID.LEFT_2D,    # cols [h:] -> cut at low x
+            }[self.domain]
+            for bid in (BoundaryID.LEFT_2D, BoundaryID.RIGHT_2D, BoundaryID.TOP_2D,
+                        BoundaryID.BOTTOM_2D):
+                kind = BCType.MIRROR if bid == cut else BCType.DIRICHLET
+                s.set_bc(int(bid), kind, 0.0)
         else:
             raise ValueError(f"unsupported domain {self.domain!r}")
 

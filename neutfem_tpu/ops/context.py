@@ -133,7 +133,16 @@ def build_context(
                 diag[face_sl] = 1.0
                 offd[_axslice(4, fax, -1 if upper else 0)] = 0.0
             elif kind == BCKind.PERIODIC:
-                raise NotImplementedError("PERIODIC boundary conditions not yet supported")
+                # The reference accepts PERIODIC but never discretizes it (its
+                # ApplyBoundaryConditions is an empty stub, NeutFEM.cpp:2128-2131);
+                # behave identically — natural (zero-flux) boundary — but say so.
+                import warnings
+
+                warnings.warn(
+                    "PERIODIC boundary conditions are not implemented (treated as a "
+                    "natural zero-flux boundary, matching the reference's behavior)",
+                    RuntimeWarning, stacklevel=2,
+                )
             # BCKind.NONE: natural => zero boundary flux, no term (reference default)
 
         # --- LDL^T factorization along the face axis (host, once; native) ---
