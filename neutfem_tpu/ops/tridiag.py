@@ -75,8 +75,24 @@ def tridiag_solve(rhs, dinv, l, axis: int):
     Forward:  z_i = r_i - l_{i-1} z_{i-1}
     Diagonal: w = z * dinv
     Backward: x_i = w_i - l_i x_{i+1}
+
+    On TPU with enough batch, dispatches to the Pallas Thomas kernel (one read +
+    one write instead of the associative_scan's ~2 log2(n) passes); the portable
+    associative_scan path serves CPU and small problems.  Disable with
+    NEUTFEM_PALLAS=0.
     """
     axis = axis % rhs.ndim
+    import os
+
+    if (
+        os.environ.get("NEUTFEM_PALLAS", "1") != "0"
+        and rhs.shape[axis] >= 4
+        and rhs.size // rhs.shape[axis] >= 512
+    ):
+        from .pallas_tridiag import pallas_available, thomas_solve
+
+        if pallas_available():
+            return thomas_solve(rhs, dinv, l, axis)
     n = rhs.shape[axis]
     dinv_b = jnp.broadcast_to(dinv, rhs.shape)
     lb = jnp.broadcast_to(l, rhs.shape[:axis] + (n - 1,) + rhs.shape[axis + 1 :])

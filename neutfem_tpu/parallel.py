@@ -20,6 +20,11 @@ per matvec — the mixed-FEM analogue of halo-exchange stencil codes.
 
 ``dryrun_multichip`` in ``__graft_entry__.py`` validates this path on a virtual
 8-device CPU mesh.
+
+Note: the Pallas Thomas kernel (ops/pallas_tridiag.py) is opaque to GSPMD — for
+multi-chip runs set ``NEUTFEM_PALLAS=0`` so the tridiagonal solves use the
+``associative_scan`` path, which the partitioner handles (sharding a Pallas call
+would force an all-gather of its operands).
 """
 
 from __future__ import annotations

@@ -96,6 +96,13 @@ def test_iaea2d_adjoint_consistency():
     assert run.keff_adj == pytest.approx(run.keff, abs=1e-6)
 
 
+def test_koeberg_adjoint_with_upscatter():
+    """Adjoint eigenvalue must match the direct one on the 4-group problem with
+    upscatter (the transposed scattering block exercise)."""
+    run = _run("koeberg2d", 1, adjoint=True)
+    assert run.keff_adj == pytest.approx(run.keff, abs=2e-6)
+
+
 def test_iaea2d_quarter_domain():
     """quart_so domain with the driver's MIRROR/DIRICHLET BCs reproduces the full
     core eigenvalue (the reference cannot do this: its MIRROR is a silent no-op)."""
