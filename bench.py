@@ -28,7 +28,7 @@ import numpy as np
 CPU_SECONDS_PER_CELL_PER_OUTER = 12e-6  # from the reference anecdote (see docstring)
 
 
-def main(mesh_n: int = 2, mesh_nz: int = 2) -> dict:
+def main(mesh_n: int = 4, mesh_nz: int = 4) -> dict:
     from benchmarks.runner import BenchmarkRun
     from benchmarks.data import BENCHMARKS
 
@@ -76,6 +76,6 @@ def main(mesh_n: int = 2, mesh_nz: int = 2) -> dict:
 if __name__ == "__main__":
     import sys
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    nz = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    nz = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     main(n, nz)
