@@ -96,6 +96,24 @@ def test_iaea2d_adjoint_consistency():
     assert run.keff_adj == pytest.approx(run.keff, abs=1e-6)
 
 
+def test_iaea2d_rt2p2_spectral():
+    """RT2-P2 at ONE cell per assembly (20 cm cells) already reaches -4.3 pcm —
+    order refinement beats mesh refinement (RT0 needs 8x8 for comparable error)."""
+    run = BenchmarkRun(BENCHMARKS["iaea2d"], mesh_n=1, rt_order=2)
+    run.solve(tol=(1e-6, 1e-5, 1e-5, 300, 2000))
+    assert run.keff == pytest.approx(1.029540, abs=5e-5)
+    assert abs(run.pcm) < 10.0
+
+
+def test_koeberg_anderson_acceleration():
+    """Anderson mixing (BASELINE config: 'KOEBERG ... Anderson accel') converges to
+    the same eigenvalue as Chebyshev."""
+    run = BenchmarkRun(BENCHMARKS["koeberg2d"], mesh_n=1)
+    run.solver.set_acceleration("anderson")
+    run.solve(tol=TOL)
+    assert run.keff == pytest.approx(1.010796, abs=2e-5)
+
+
 def test_koeberg_adjoint_with_upscatter():
     """Adjoint eigenvalue must match the direct one on the 4-group problem with
     upscatter (the transposed scattering block exercise)."""
