@@ -121,6 +121,18 @@ def test_koeberg_adjoint_with_upscatter():
     assert run.keff_adj == pytest.approx(run.keff, abs=2e-6)
 
 
+def test_iaea2d_half_domain():
+    """moitie_s with the MIRROR cut reproduces the full-core eigenvalue.
+
+    Needs an even mesh expansion: the 19-assembly layout only splits exactly when
+    each assembly is subdivided into an even number of cells (the reference's
+    slicing has the same constraint)."""
+    full = _run("iaea2d", 2)
+    h = BenchmarkRun(BENCHMARKS["iaea2d"], mesh_n=2, domain="moitie_s")
+    h.solve(tol=TOL)
+    assert h.keff == pytest.approx(full.keff, abs=5e-6)
+
+
 def test_iaea2d_quarter_domain():
     """quart_so domain with the driver's MIRROR/DIRICHLET BCs reproduces the full
     core eigenvalue (the reference cannot do this: its MIRROR is a silent no-op)."""

@@ -1,0 +1,65 @@
+"""float32 solve-path fidelity: the equilibrated Schur CG + normalized power
+iteration must reproduce the float64 eigenvalue to well under a pcm (this is what
+lets bench.py run the fast float32 path on TPU, where float64 is emulated)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from neutfem_tpu.bc import BCKind, BCSpec
+from neutfem_tpu.fespace import make_fespace
+from neutfem_tpu.mesh import CartesianMesh, boundary_attribute
+from neutfem_tpu.ops.context import build_context
+from neutfem_tpu.power import SolveOptions, power_iteration
+
+from test_cmfd_coarse import build_het_problem
+
+
+@pytest.mark.parametrize("order", [(0, 0), (1, 1)])
+def test_f32_matches_f64_keff(order):
+    mesh, _, ng, xs, bcs = build_het_problem(nx=12, ny=12, k=order[0], m=order[1])
+    fes = make_fespace(mesh, *order)
+    opts = SolveOptions(tol_keff=1e-7, tol_flux=1e-6, inner_tol=1e-6)
+
+    ks = {}
+    for dt in (jnp.float64, jnp.float32):
+        ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=dt)
+        phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=dt)
+        ks[dt] = float(power_iteration(fes, ng, opts, ctx, phi0, 1.0)["keff"])
+
+    # < 0.1 pcm between precisions
+    dk_pcm = 1e5 * abs(1.0 / ks[jnp.float64] - 1.0 / ks[jnp.float32])
+    assert dk_pcm < 0.1, (ks, dk_pcm)
+
+
+def test_f32_survives_void_absorbers():
+    """1e15 removal fillers (IAEA-3D void) must not overflow the float32 path —
+    this is what the symmetric Jacobi equilibration guarantees."""
+    mesh = CartesianMesh.from_breaks(np.linspace(0, 60, 7), np.linspace(0, 60, 7))
+    fes = make_fespace(mesh, 0, 0)
+    ng = 2
+    xs = {
+        "D": np.full((ng, *mesh.shape), 1.0),
+        "SigR": np.full((ng, *mesh.shape), 0.05),
+        "NSF": np.full((ng, *mesh.shape), 0.06),
+        "Chi": np.stack([np.ones(mesh.shape), np.zeros(mesh.shape)]),
+        "SigS": np.zeros((ng, ng, *mesh.shape)),
+        "SRC": np.zeros((ng, *mesh.shape)),
+    }
+    xs["SigS"][1, 0] = 0.02
+    # void ring
+    for key, val in (("SigR", 1e15), ("D", 1e-3), ("NSF", 0.0)):
+        xs[key][:, :, 0, :] = val
+        xs[key][:, :, -1, :] = val
+    bcs = BCSpec()
+    for ax in (0, 1):
+        for up in (False, True):
+            bcs.set(boundary_attribute(2, ax, up), BCKind.DIRICHLET)
+
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=jnp.float32)
+    phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=jnp.float32)
+    res = power_iteration(fes, ng, SolveOptions(tol_keff=1e-6, tol_flux=1e-5,
+                                                inner_tol=1e-5), ctx, phi0, 1.0)
+    assert bool(jnp.isfinite(res["phi"]).all())
+    assert np.isfinite(float(res["keff"])) and float(res["keff"]) > 0
