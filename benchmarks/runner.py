@@ -280,21 +280,18 @@ def main(name: str, argv: Optional[Sequence[str]] = None):
 
     n = int(str(args.mesh).split("x")[0])
     spec = BENCHMARKS[name]
-    cf = []
-    if args.coarse:
-        from neutfem_tpu.coarse import default_coarse_factors
-        cf = None  # computed after build
-
     rt = args.order if args.order is not None else args.rt_order
     po = args.order if args.order is not None else args.p_order
     run = BenchmarkRun(spec, mesh_n=n, mesh_nz=args.mesh_z, domain=args.domain,
                        verbose=args.verbose, rt_order=rt, p_order=po)
+    cf = ()
     if args.coarse:
         from neutfem_tpu.coarse import default_coarse_factors
+
         cf = list(default_coarse_factors(run.solver._mesh))
     t0 = time.time()
     run.solve(adjoint=args.adjoint, use_coarse_init=args.coarse,
-              coarse_factors=cf or (), use_cmfd=args.cmfd,
+              coarse_factors=cf, use_cmfd=args.cmfd,
               use_diagonal_solver=args.diag)
     wall = time.time() - t0
 
