@@ -114,6 +114,14 @@ def test_koeberg_anderson_acceleration():
     assert run.keff == pytest.approx(1.010796, abs=2e-5)
 
 
+def test_iaea3d_rt1p1_adjoint():
+    """BASELINE config 5: IAEA-3D RT1-P1 Chebyshev + adjoint solve."""
+    run = BenchmarkRun(BENCHMARKS["iaea3d"], mesh_n=1, rt_order=1)
+    run.solve(tol=TOL, adjoint=True)
+    assert run.keff == pytest.approx(1.028685, abs=5e-5)
+    assert run.keff_adj == pytest.approx(run.keff, abs=2e-6)
+
+
 def test_koeberg_adjoint_with_upscatter():
     """Adjoint eigenvalue must match the direct one on the 4-group problem with
     upscatter (the transposed scattering block exercise)."""
