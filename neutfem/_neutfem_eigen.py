@@ -512,6 +512,7 @@ class NeutFEM:
         self._phi_adj = phi_adj
         self._J_adj = res["J"]
         self._keff_adj = keff_adj
+        self._check_health(keff_adj, phi_adj, "SolveAdjoint")
         self._log(
             VerbosityLevel.NORMAL,
             f"SolveAdjoint: k-eff(adj) = {keff_adj:.6f} in "
