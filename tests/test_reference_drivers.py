@@ -46,3 +46,21 @@ def test_reference_iaea2d_driver_runs_unmodified(monkeypatch, capsys):
 def test_reference_zion2d_driver_runs_unmodified(monkeypatch, capsys):
     ns, out = _run_driver(f"{REF}/zion2d/zion2d.py", [], monkeypatch, capsys)
     assert "k-eff" in out
+
+
+@pytest.mark.parametrize("script,argv,k_expected", [
+    ("biblis2d/biblis2D.py", ["--mesh", "2x2"], 1.025690),
+    ("koeberg2d/koeberg2d.py", ["--mesh", "1x1"], 1.010796),
+    ("iaea3d/iaea3d.py", ["--mesh", "1x1"], 1.027866),
+])
+def test_other_reference_drivers_run_unmodified(script, argv, k_expected,
+                                                monkeypatch, capsys):
+    """BIBLIS / KOEBERG (4-group) / IAEA-3D reference scripts, straight from the
+    reference tree, produce our pinned eigenvalues (driver tolerances are loose:
+    set_tol(1e-5, 1e-4, ...) with coarse init, hence the wide k window)."""
+    import re
+
+    ns, out = _run_driver(f"{REF}/{script}", argv, monkeypatch, capsys)
+    m = re.search(r"k-eff direct\s*=\s*([0-9.]+)", out)
+    assert m, out[-2000:]
+    assert abs(float(m.group(1)) - k_expected) < 5e-4
