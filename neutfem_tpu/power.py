@@ -70,6 +70,12 @@ class SolveOptions:
     use_cmfd: bool = False        # CMFD nonlinear acceleration (excludes Chebyshev)
     cmfd_omega: float = 1.0       # CMFD correction relaxation (SetCMFDRelaxation)
     cmfd_from_iter: int = 2       # first outer iteration with CMFD (NeutFEM.cpp:1750)
+    sweep: str = "gs"             # group sweep: "gs" (reference Gauss-Seidel) |
+                                  # "jacobi" (all groups in ONE batched Schur CG).
+                                  # Jacobi is ~8x cheaper per outer on 4-group
+                                  # problems (measured, KOEBERG 136x136 on v5e) but
+                                  # needs more outers and excludes Chebyshev —
+                                  # roughly a wash overall; kept opt-in.
 
 
 def ctx_group(ctx: Dict, g: int) -> Dict:
@@ -143,6 +149,11 @@ def _scatter_into(ctx, g: int, phi, adjoint: bool = False):
     return out
 
 
+def _scatter_all(ctx, phi, adjoint: bool = False):
+    """Stacked off-diagonal scattering source for every group at once."""
+    return jnp.stack([_scatter_into(ctx, g, phi, adjoint) for g in range(phi.shape[0])])
+
+
 def _external_source(ctx, g: int):
     """Flux-space rhs of the per-element-constant external source Q_g: only the P_0
     mode is excited, with weight detJ * w_mode[0] (= volume * 1 in P0 units)."""
@@ -191,8 +202,12 @@ def power_iteration(
     and convergence is on the flux only.
     """
     dtype = phi0.dtype
-    # Chebyshev is applied only when CMFD is off (reference NeutFEM.cpp:1786-1788)
-    use_cheby = opts.accel == "chebyshev" and not opts.use_cmfd
+    # Chebyshev is applied only when CMFD is off (reference NeutFEM.cpp:1786-1788).
+    # It is also disabled for the Jacobi group sweep: that iteration's subdominant
+    # spectrum is not confined to the real interval Chebyshev assumes and the
+    # extrapolation diverges (Anderson remains available there).
+    use_cheby = (opts.accel == "chebyshev" and not opts.use_cmfd
+                 and opts.sweep != "jacobi")
     use_anderson = opts.accel == "anderson" and not opts.use_cmfd
     cheby_from = 5 if adjoint else 2  # reference NeutFEM.cpp:1786 vs :1990
 
@@ -209,12 +224,22 @@ def power_iteration(
         prod_old = _production(ctx, phi, adjoint) if adjoint else jnp.sum(total_fiss)
 
         inner_iters = jnp.asarray(0, jnp.int32)
-        # Adjoint sweeps groups in REVERSE: importance flows up the group ladder, so
-        # decreasing g is the ordering that makes the Gauss-Seidel scattering sweep
-        # triangular for the transposed coupling.  (The reference sweeps forward in
-        # both modes, NeutFEM.cpp:1936 — with a forward adjoint sweep the Chebyshev
-        # extrapolation destabilizes; documented deviation.)
-        sweep_order = range(ng - 1, -1, -1) if adjoint else range(ng)
+        if opts.sweep == "jacobi":
+            # all groups at once: scattering from the OLD fluxes, one batched CG over
+            # the leading group axis (ctx arrays already carry ng in front)
+            rhs = rhs_w[..., None] * total_fiss / keff + _scatter_all(ctx, phi, adjoint)
+            x0 = phi if opts.warm_start else jnp.zeros_like(phi)
+            res = group_solve(fes, ctx, opts, rhs, x0)
+            phi = res.x
+            inner_iters = inner_iters + res.iterations
+            sweep_order = ()
+        else:
+            # Adjoint sweeps groups in REVERSE: importance flows up the group ladder,
+            # so decreasing g is the ordering that makes the Gauss-Seidel scattering
+            # sweep triangular for the transposed coupling.  (The reference sweeps
+            # forward in both modes, NeutFEM.cpp:1936 — with a forward adjoint sweep
+            # the Chebyshev extrapolation destabilizes; documented deviation.)
+            sweep_order = range(ng - 1, -1, -1) if adjoint else range(ng)
         for g in sweep_order:
             ctxg = ctx_group(ctx, g)
             # chi (nuSigf in adjoint mode) is constant per element, so it multiplies

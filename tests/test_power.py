@@ -133,6 +133,21 @@ def test_diag_mode_matches_reference_diagonal_schur():
     assert int(res["inner_iterations"]) == 0  # O(n) direct path, no CG at all
 
 
+def test_jacobi_sweep_same_fixed_point():
+    """The batched-Jacobi group sweep converges to the Gauss-Seidel eigenvalue."""
+    mesh, fes, ng, xs, bcs = build_2d_problem()
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
+    phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
+    k_gs = float(power_iteration(
+        fes, ng, SolveOptions(tol_keff=1e-10, tol_flux=1e-8, inner_tol=1e-12),
+        ctx, phi0, 1.0)["keff"])
+    res_j = power_iteration(
+        fes, ng,
+        SolveOptions(tol_keff=1e-10, tol_flux=1e-8, inner_tol=1e-12, sweep="jacobi"),
+        ctx, phi0, 1.0)
+    assert abs(float(res_j["keff"]) - k_gs) < 5e-9
+
+
 def test_lumped_matches_dense_fd_eig():
     mesh, fes, ng, xs, bcs = build_2d_problem()
     ctx = build_context(fes, ng, xs, bcs, a_mode="lumped", dtype=DT)
