@@ -6,12 +6,22 @@ driver stack and report seconds per outer iteration of the accelerated power
 iteration, measured on a second solve so one-time jit compilation is excluded
 (the compiled executable is also persisted in the JAX compilation cache).
 
-vs_baseline: the reference publishes no hardware-qualified timing; its only timing
-anecdote is SolveKeff on a 100x100x10 RT0-P0 mesh taking ~60 s un-optimized on an
-unspecified CPU (/root/reference/src/wrapper.cpp:659-663).  Assuming the default
-tolerances' typical ~50 outer iterations, that is ~1.2 s/outer at 100k cells, i.e.
-~12 us/cell/outer.  vs_baseline = (12e-6 * n_cells) / measured_seconds_per_outer —
-the estimated CPU-per-outer cost of this problem over ours (>1 means faster).
+Default mesh 6x6 (x4 axial) = 987,696 cells: the finest BASELINE-acceptance mesh,
+where the RT0-P0 discretization error vs the literature k_ref is sub-pcm (the
+coarser meshes are discretization-limited: the reference's own math gives -19.5 pcm
+at IAEA-2D 4x4 — adjudicated by the scipy transcription in tests/ref_replica.py,
+see BASELINE.md "Adjudication").
+
+vs_baseline: MEASURED CPU cost of the reference algorithm on this machine, from the
+scipy transcription of the reference's exact-Schur CG power iteration
+(tests/ref_replica.py; assembly per FEM.cpp:748-1008, solver per
+solvers.cpp:577-636): 0.485 s/outer at 54,872 cells (IAEA-3D 2x2x2) with the
+drivers' Schur tolerance 1e-4 (set_tol wires tol_flux into the Schur CG,
+NeutFEM.cpp:334) = 8.84 us/cell/outer.  Extrapolating linearly in cells UNDERSTATES
+the CPU cost at larger meshes (its CG iteration count grows ~h^-1), so
+vs_baseline = (8.84e-6 * n_cells) / measured_seconds_per_outer is conservative.
+(At the reference's hard-coded tol 1e-10 the same measurement is 48.7 us/cell/outer.)
+Reproduce with: python tests/measure_cpu_baseline.py
 """
 
 import json
@@ -20,15 +30,16 @@ import time
 
 # float32 solve path: on TPU v5e float64 is emulated; the equilibrated Schur CG +
 # normalized power iteration is float32-stable (measured vs float64: |dk| < 0.05 pcm
-# on IAEA-2D 4x4 and KOEBERG 2x2).  Override with NEUTFEM_X64=1.
+# on IAEA-2D 4x4 and KOEBERG 2x2; < 0.4 pcm at 92k-cell IAEA-2D 16x16 —
+# tests/test_precision.py).  Override with NEUTFEM_X64=1.
 os.environ.setdefault("NEUTFEM_X64", "0")
 
 import numpy as np
 
-CPU_SECONDS_PER_CELL_PER_OUTER = 12e-6  # from the reference anecdote (see docstring)
+CPU_SECONDS_PER_CELL_PER_OUTER = 8.84e-6  # MEASURED (see docstring)
 
 
-def main(mesh_n: int = 4, mesh_nz: int = 4) -> dict:
+def main(mesh_n: int = 6, mesh_nz: int = 4) -> dict:
     from benchmarks.runner import BenchmarkRun
     from benchmarks.data import BENCHMARKS
 
@@ -50,7 +61,9 @@ def main(mesh_n: int = 4, mesh_nz: int = 4) -> dict:
     pcm = 1e5 * (1.0 / spec.kref - 1.0 / keff)
     per_outer = wall / max(outers or 1, 1)
     inners = run.solver._last_inners
-    dofs_per_s = run.solver._fes.n_phi * spec.ng * inners / wall
+    # _last_inners already sums per-group CG iterations; each iteration touches one
+    # group's n_phi DOFs, so no extra *ng factor (round-1 advisor finding).
+    dofs_per_s = run.solver._fes.n_phi * inners / wall
     baseline_per_outer = CPU_SECONDS_PER_CELL_PER_OUTER * n_cells
     out = {
         "metric": "iaea3d_seconds_per_outer_iteration",
@@ -76,6 +89,6 @@ def main(mesh_n: int = 4, mesh_nz: int = 4) -> dict:
 if __name__ == "__main__":
     import sys
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     nz = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     main(n, nz)

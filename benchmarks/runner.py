@@ -14,7 +14,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from neutfem import BCType, BoundaryID, LinearSolverType, NeutFEM, VerbosityLevel
+from neutfem import BCType, LinearSolverType, NeutFEM, VerbosityLevel
+from neutfem_tpu.mesh import boundary_attribute
 
 from .data import BENCHMARKS, BenchmarkSpec, sigr_of
 
@@ -28,18 +29,21 @@ def _expand_layout(rows, n):
 
 
 def _slice_domain(grid, domain):
-    """Reference domain conventions (iaea2d.py:136-151): quarter/half slicing."""
-    L = grid.shape[0]
-    h = L // 2
+    """Reference domain conventions (iaea2d.py:136-151): quarter/half slicing.
+
+    Midpoints are taken from the y/x axes (the two LAST axes — for 3D grids the
+    first axis is nz, which need not equal ny)."""
+    hy = grid.shape[-2] // 2
+    hx = grid.shape[-1] // 2
     m = {
-        "quart_so": (slice(h, None), slice(None, h)),
-        "quart_no": (slice(None, h), slice(None, h)),
-        "quart_ne": (slice(None, h), slice(h, None)),
-        "quart_se": (slice(h, None), slice(h, None)),
-        "moitie_s": (slice(h, None), slice(None, None)),
-        "moitie_o": (slice(None, None), slice(None, h)),
-        "moitie_n": (slice(None, h), slice(None, None)),
-        "moitie_e": (slice(None, None), slice(h, None)),
+        "quart_so": (slice(hy, None), slice(None, hx)),
+        "quart_no": (slice(None, hy), slice(None, hx)),
+        "quart_ne": (slice(None, hy), slice(hx, None)),
+        "quart_se": (slice(hy, None), slice(hx, None)),
+        "moitie_s": (slice(hy, None), slice(None, None)),
+        "moitie_o": (slice(None, None), slice(None, hx)),
+        "moitie_n": (slice(None, hy), slice(None, None)),
+        "moitie_e": (slice(None, None), slice(hx, None)),
     }
     if domain in m:
         ys, xs = m[domain]
@@ -99,46 +103,34 @@ class BenchmarkRun:
         s.set_verbosity(VerbosityLevel.NORMAL if self.verbose else VerbosityLevel.SILENT)
         s.set_linear_solver(LinearSolverType.BICGSTAB)
 
-        if spec.dim == 3:
-            for bid in (BoundaryID.LEFT_3D, BoundaryID.RIGHT_3D, BoundaryID.TOP_3D,
-                        BoundaryID.BOTTOM_3D, BoundaryID.FRONT_3D, BoundaryID.BACK_3D):
-                s.set_bc(int(bid), BCType.DIRICHLET, 0.0)
-        elif self.domain == "entier":
-            for bid in (BoundaryID.LEFT_2D, BoundaryID.RIGHT_2D, BoundaryID.TOP_2D,
-                        BoundaryID.BOTTOM_2D):
-                s.set_bc(int(bid), BCType.DIRICHLET, 0.0)
-        elif self.domain.startswith("quart"):
-            # The reference drivers assign MIRROR to TOP/RIGHT for quart_so
-            # (iaea2d.py:284-288) — but after their own row/column slicing the cut
-            # planes are BOTTOM/RIGHT.  Harmless there (the reference's MIRROR is a
-            # silent no-op, NeutFEM.cpp:2128-2131) but wrong with a working MIRROR;
-            # we set the geometrically correct cut planes per quadrant.
-            s.apply_quarter_rotational_symmetry(0, 1)
-            cut = {
-                # rows slice start => cut at low y (BOTTOM); cols end => high x (RIGHT)
-                "quart_so": (BoundaryID.BOTTOM_2D, BoundaryID.RIGHT_2D),
-                "quart_no": (BoundaryID.TOP_2D, BoundaryID.RIGHT_2D),
-                "quart_ne": (BoundaryID.TOP_2D, BoundaryID.LEFT_2D),
-                "quart_se": (BoundaryID.BOTTOM_2D, BoundaryID.LEFT_2D),
-            }[self.domain]
-            for bid in (BoundaryID.LEFT_2D, BoundaryID.RIGHT_2D, BoundaryID.TOP_2D,
-                        BoundaryID.BOTTOM_2D):
-                kind = BCType.MIRROR if bid in cut else BCType.DIRICHLET
-                s.set_bc(int(bid), kind, 0.0)
-        elif self.domain.startswith("moitie"):
-            # half domains: one MIRROR cut plane, vacuum elsewhere
-            cut = {
-                "moitie_s": BoundaryID.BOTTOM_2D,  # rows [h:] -> cut at low y
-                "moitie_n": BoundaryID.TOP_2D,     # rows [:h] -> cut at high y
-                "moitie_o": BoundaryID.RIGHT_2D,   # cols [:h] -> cut at high x
-                "moitie_e": BoundaryID.LEFT_2D,    # cols [h:] -> cut at low x
-            }[self.domain]
-            for bid in (BoundaryID.LEFT_2D, BoundaryID.RIGHT_2D, BoundaryID.TOP_2D,
-                        BoundaryID.BOTTOM_2D):
-                kind = BCType.MIRROR if bid == cut else BCType.DIRICHLET
-                s.set_bc(int(bid), kind, 0.0)
-        else:
+        # Cut planes as (axis, upper) pairs so the same logic serves 2D and 3D
+        # (the reference drivers assign MIRROR to TOP/RIGHT for quart_so,
+        # iaea2d.py:284-288 — but after their own row/column slicing the cut planes
+        # are BOTTOM/RIGHT.  Harmless there: the reference's MIRROR is a silent
+        # no-op, NeutFEM.cpp:2128-2131.  Wrong with a working MIRROR, so we set the
+        # geometrically correct cut planes per quadrant.)
+        cuts = {
+            "entier": (),
+            # rows slice start => cut at low y; cols end => high x
+            "quart_so": ((1, False), (0, True)),
+            "quart_no": ((1, True), (0, True)),
+            "quart_ne": ((1, True), (0, False)),
+            "quart_se": ((1, False), (0, False)),
+            "moitie_s": ((1, False),),
+            "moitie_n": ((1, True),),
+            "moitie_o": ((0, True),),
+            "moitie_e": ((0, False),),
+        }
+        if self.domain not in cuts:
             raise ValueError(f"unsupported domain {self.domain!r}")
+        cut = set(cuts[self.domain])
+        if self.domain.startswith("quart"):
+            s.apply_quarter_rotational_symmetry(0, 1)
+        for axis in range(spec.dim):
+            for upper in (False, True):
+                attr = boundary_attribute(spec.dim, axis, upper)
+                kind = BCType.MIRROR if (axis, upper) in cut else BCType.DIRICHLET
+                s.set_bc(attr, kind, 0.0)
 
         self._fill_xs(s)
         s.BuildMatrices()

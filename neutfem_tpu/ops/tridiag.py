@@ -92,7 +92,9 @@ def tridiag_solve(rhs, dinv, l, axis: int):
         from .pallas_tridiag import pallas_available, thomas_solve
 
         if pallas_available():
-            return thomas_solve(rhs, dinv, l, axis)
+            out = thomas_solve(rhs, dinv, l, axis)
+            if out is not None:  # None: no kernel fits this shape/dtype
+                return out
     n = rhs.shape[axis]
     dinv_b = jnp.broadcast_to(dinv, rhs.shape)
     lb = jnp.broadcast_to(l, rhs.shape[:axis] + (n - 1,) + rhs.shape[axis + 1 :])

@@ -76,6 +76,17 @@ class SolveOptions:
                                   # problems (measured, KOEBERG 136x136 on v5e) but
                                   # needs more outers and excludes Chebyshev —
                                   # roughly a wash overall; kept opt-in.
+    diag_elementwise: bool = False  # bug-compat RT0-P0 elementwise Schur solve:
+                                  # replicates the reference's S_ee = C_ee +
+                                  # sum_f B_ef^2/A_ff scheme (NeutFEM.cpp:459-634),
+                                  # which drops ALL inter-element coupling and
+                                  # collapses under mesh refinement.  OFF by default;
+                                  # a_mode="diag" alone keeps the CONSISTENT
+                                  # diagonal-A Schur (A^-1 ~ diag(A)^-1 but the
+                                  # B diag(A)^-1 B^T neighbor coupling retained).
+    log_every: int = 0            # if > 0, jax.debug.print "It n : k dk dphi" every
+                                  # log_every outer iterations (reference
+                                  # NeutFEM.cpp:1791-1796 prints every 5).
 
 
 def ctx_group(ctx: Dict, g: int) -> Dict:
@@ -99,10 +110,14 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
     overflow for problems with near-void cells (Sigma_r ~ 1e8-1e15 in the IAEA-3D /
     KOEBERG benchmark fillers).
 
-    In "diag" A-mode with RT0-P0, S is exactly diagonal and equals 1/precond_inv, so
-    the solve is a single elementwise product — the TPU-native form of the
-    reference's diagonal-Schur fast path (NeutFEM.cpp:607-634)."""
-    if opts.a_mode == "diag" and fes.k == 0 and fes.m == 0:
+    With diag_elementwise (bug-compat only), the RT0-P0 "diag" solve is a single
+    elementwise product with the reference's per-element S_ee — the reference's
+    diagonal-Schur fast path (NeutFEM.cpp:607-634).  That scheme has NO neighbor
+    coupling (it drops the off-diagonal B_ef B_e'f / A_ff terms of shared faces) and
+    its eigenvalue collapses under mesh refinement; the default "diag" path keeps
+    the consistent diagonal-A Schur: A^-1 ~ diag(A)^-1 inside the CG matvec, which
+    retains the inter-element coupling."""
+    if opts.diag_elementwise and opts.a_mode == "diag" and fes.k == 0 and fes.m == 0:
         from .krylov import KrylovResult
 
         x = ctxg["precond_inv"] * rhs
@@ -217,13 +232,15 @@ def power_iteration(
     rhs_w = ctx["nsf"] if adjoint else ctx["chi"]  # group-row weight of the fission rhs
 
     def outer_body(carry):
-        phi, keff, it, _, _, cheb, ands, inner_tot = carry
+        phi, keff, it, _, _, cheb, ands, inner_tot, _, _ = carry
         phi_old = phi
 
         total_fiss = _fission_source(ctx, phi, adjoint)
         prod_old = _production(ctx, phi, adjoint) if adjoint else jnp.sum(total_fiss)
 
         inner_iters = jnp.asarray(0, jnp.int32)
+        last_inner = jnp.asarray(0, jnp.int32)
+        last_resid = jnp.asarray(0.0, dtype)
         if opts.sweep == "jacobi":
             # all groups at once: scattering from the OLD fluxes, one batched CG over
             # the leading group axis (ctx arrays already carry ng in front)
@@ -232,6 +249,8 @@ def power_iteration(
             res = group_solve(fes, ctx, opts, rhs, x0)
             phi = res.x
             inner_iters = inner_iters + res.iterations
+            last_inner = res.iterations
+            last_resid = jnp.max(res.residual).astype(dtype)
             sweep_order = ()
         else:
             # Adjoint sweeps groups in REVERSE: importance flows up the group ladder,
@@ -251,6 +270,8 @@ def power_iteration(
             res = group_solve(fes, ctxg, opts, rhs, x0)
             phi = phi.at[g].set(res.x)
             inner_iters = inner_iters + res.iterations
+            last_inner = res.iterations
+            last_resid = res.residual.astype(dtype)
 
         if opts.use_cmfd and not adjoint:
             # CMFD correction from iter >= cmfd_from_iter, BEFORE the k-update
@@ -296,10 +317,26 @@ def power_iteration(
                 (ands, phi_old, phi),
             )
 
-        return (phi, keff, it + 1, diff_k, diff_flux, cheb, ands, inner_tot + inner_iters)
+        if opts.log_every > 0:
+            # reference per-iteration console line (NeutFEM.cpp:1791-1796), printed
+            # from inside the jitted loop via the host callback of jax.debug.print
+            def _pr(args):
+                it_, k_, dk_, dphi_, ni_ = args
+                jax.debug.print(
+                    "  It {i} : k = {k:.8f}  dk = {dk:.2e}  dphi = {dphi:.2e}"
+                    "  (inner {n})",
+                    i=it_, k=k_, dk=dk_, dphi=dphi_, n=ni_, ordered=False,
+                )
+                return 0
+
+            lax.cond(it % opts.log_every == 0, _pr, lambda a: 0,
+                     (it, keff, diff_k, diff_flux, inner_iters))
+
+        return (phi, keff, it + 1, diff_k, diff_flux, cheb, ands,
+                inner_tot + inner_iters, last_inner, last_resid)
 
     def outer_cond(carry):
-        _, _, it, diff_k, diff_flux, _, _, _ = carry
+        _, _, it, diff_k, diff_flux, _, _, _, _, _ = carry
         not_conv = jnp.logical_or(diff_k >= opts.tol_keff, diff_flux >= opts.tol_flux)
         # always run at least 2 iterations (k is not updated at it=0)
         return jnp.logical_and(it < opts.max_outer, jnp.logical_or(not_conv, it < 2))
@@ -314,9 +351,11 @@ def power_iteration(
         cheb0,
         and0,
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0.0, dtype),
     )
-    phi, keff, it, diff_k, diff_flux, _, _, inner_tot = lax.while_loop(
-        outer_cond, outer_body, carry0
+    phi, keff, it, diff_k, diff_flux, _, _, inner_tot, last_inner, last_resid = (
+        lax.while_loop(outer_cond, outer_body, carry0)
     )
 
     J = compute_current(fes, ctx, phi, a_mode=opts.a_mode)
@@ -326,6 +365,10 @@ def power_iteration(
         "J": J,
         "outer_iterations": it,
         "inner_iterations": inner_tot,
+        # last group solve's Krylov diagnostics (reference SchurSolver::
+        # GetLastIterations/GetLastResidual, solvers.hpp:358-366)
+        "last_inner_iterations": last_inner,
+        "last_inner_residual": last_resid,
         "diff_k": diff_k,
         "diff_flux": diff_flux,
     }

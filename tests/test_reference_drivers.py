@@ -44,8 +44,14 @@ def test_reference_iaea2d_driver_runs_unmodified(monkeypatch, capsys):
 
 
 def test_reference_zion2d_driver_runs_unmodified(monkeypatch, capsys):
+    import re
+
     ns, out = _run_driver(f"{REF}/zion2d/zion2d.py", [], monkeypatch, capsys)
-    assert "k-eff" in out
+    m = re.search(r"k-eff direct\s*=\s*([0-9.]+)", out)
+    assert m, out[-2000:]
+    # pinned eigenvalue at the driver's default mesh + explicit-baffle geometry
+    # (converges hard: dk = 0 at 19 outers on CPU float64)
+    assert abs(float(m.group(1)) - 1.279729) < 2e-4
 
 
 @pytest.mark.parametrize("script,argv,k_expected", [
