@@ -97,7 +97,35 @@ def solve_A_dir(
     if a_mode != "exact":
         F = rFs * dinv[..., None]
     else:
-        F = tridiag_solve(rFs, dinv[..., None], l[..., None], axis=ax)
+        # Shard-aware dispatch: when tracing under parallel.sharded_power_iteration,
+        # directions orthogonal to the mesh cut keep the Pallas kernel via a
+        # shard_map of per-shard local solves; the direction along the cut falls
+        # back to the GSPMD-partitionable associative_scan inside tridiag_solve
+        # (its cross-shard steps lower to collective permutes).
+        from ..shardctx import current_sharding
+
+        sh = current_sharding()
+        shard = None
+        force_scan = False
+        if sh is not None:
+            mesh, axis_map = sh
+            if di.axis in axis_map:
+                force_scan = True  # lines cross the cut: no local Thomas possible
+            else:
+                base = (ax % rFs.ndim) - di.axis  # spatial dims at base+(0,1,2)
+                shard = (mesh, {base + ga: nm for ga, nm in axis_map.items()})
+        if force_scan:
+            from .tridiag import _scan_solve
+
+            axn = ax % rFs.ndim
+            n = rFs.shape[axn]
+            dinv_b = jnp.broadcast_to(dinv[..., None], rFs.shape)
+            l_b = jnp.broadcast_to(
+                l[..., None], rFs.shape[:axn] + (n - 1,) + rFs.shape[axn + 1:]
+            )
+            F = _scan_solve(rFs, dinv_b, l_b, axn)
+        else:
+            F = tridiag_solve(rFs, dinv[..., None], l[..., None], axis=ax, shard=shard)
     F = F * mask[..., None]
 
     W = None

@@ -68,20 +68,21 @@ def affine_scan(a, b, axis: int, reverse: bool = False):
     return z
 
 
-def tridiag_solve(rhs, dinv, l, axis: int):
-    """Solve T x = rhs with precomputed (dinv, l) from tridiag_factor, along `axis`.
+def _scan_solve(rhs, dinv_b, lb, axis: int):
+    """Portable path: forward/backward affine recurrences via associative_scan.
+    dinv_b / lb must already have rhs-compatible shapes."""
+    zero = jnp.zeros_like(lax.slice_in_dim(rhs, 0, 1, axis=axis))
+    # a for forward: [0, -l_0, ..., -l_{n-2}]
+    a_fwd = jnp.concatenate([zero, -lb], axis=axis)
+    z = affine_scan(a_fwd, rhs, axis=axis)
+    w = z * dinv_b
+    # a for backward: [-l_0, ..., -l_{n-2}, 0]
+    a_bwd = jnp.concatenate([-lb, zero], axis=axis)
+    return affine_scan(a_bwd, w, axis=axis, reverse=True)
 
-    rhs may have extra trailing/leading batch axes: dinv/l are broadcast against it.
-    Forward:  z_i = r_i - l_{i-1} z_{i-1}
-    Diagonal: w = z * dinv
-    Backward: x_i = w_i - l_i x_{i+1}
 
-    On TPU with enough batch, dispatches to the Pallas Thomas kernel (one read +
-    one write instead of the associative_scan's ~2 log2(n) passes); the portable
-    associative_scan path serves CPU and small problems.  Disable with
-    NEUTFEM_PALLAS=0.
-    """
-    axis = axis % rhs.ndim
+def _local_solve(rhs, dinv_b, lb, axis: int):
+    """Best single-device solve: Pallas Thomas kernel when one fits, else scan."""
     import os
 
     if (
@@ -92,18 +93,45 @@ def tridiag_solve(rhs, dinv, l, axis: int):
         from .pallas_tridiag import pallas_available, thomas_solve
 
         if pallas_available():
-            out = thomas_solve(rhs, dinv, l, axis)
+            out = thomas_solve(rhs, dinv_b, lb, axis)
             if out is not None:  # None: no kernel fits this shape/dtype
                 return out
+    return _scan_solve(rhs, dinv_b, lb, axis)
+
+
+def tridiag_solve(rhs, dinv, l, axis: int, shard=None):
+    """Solve T x = rhs with precomputed (dinv, l) from tridiag_factor, along `axis`.
+
+    rhs may have extra trailing/leading batch axes: dinv/l are broadcast against it.
+    Forward:  z_i = r_i - l_{i-1} z_{i-1}
+    Diagonal: w = z * dinv
+    Backward: x_i = w_i - l_i x_{i+1}
+
+    On TPU with enough batch, dispatches to the layout-aware Pallas Thomas kernels
+    (one read + one write instead of the associative_scan's ~2 log2(n) passes); the
+    portable associative_scan path serves CPU and small problems.  Disable with
+    NEUTFEM_PALLAS=0.
+
+    shard: optional ``(mesh, {array_dim: mesh_axis_name})`` from the caller when the
+    operands are sharded over a device mesh along batch dims (never along `axis`):
+    the solve is wrapped in ``jax.shard_map`` so each shard runs the Pallas kernel
+    on its complete local lines instead of GSPMD all-gathering the pallas_call.
+    """
+    axis = axis % rhs.ndim
     n = rhs.shape[axis]
     dinv_b = jnp.broadcast_to(dinv, rhs.shape)
-    lb = jnp.broadcast_to(l, rhs.shape[:axis] + (n - 1,) + rhs.shape[axis + 1 :])
+    lb = jnp.broadcast_to(l, rhs.shape[:axis] + (n - 1,) + rhs.shape[axis + 1:])
 
-    zero = jnp.zeros_like(lax.slice_in_dim(rhs, 0, 1, axis=axis))
-    # a for forward: [0, -l_0, ..., -l_{n-2}]
-    a_fwd = jnp.concatenate([zero, -lb], axis=axis)
-    z = affine_scan(a_fwd, rhs, axis=axis)
-    w = z * dinv_b
-    # a for backward: [-l_0, ..., -l_{n-2}, 0]
-    a_bwd = jnp.concatenate([-lb, zero], axis=axis)
-    return affine_scan(a_bwd, w, axis=axis, reverse=True)
+    if shard is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh, dim_names = shard
+        assert axis not in dim_names, "cannot shard_map along the solve axis"
+        spec = P(*[dim_names.get(d) for d in range(rhs.ndim)])
+        return shard_map(
+            lambda r, d, lo: _local_solve(r, d, lo, axis),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        )(rhs, dinv_b, lb)
+
+    return _local_solve(rhs, dinv_b, lb, axis)

@@ -2,35 +2,32 @@
 
 The reference is a serial, single-process CPU solver (SURVEY §2.6 — no MPI/threads);
 this module is new TPU-native scope: spatial domain decomposition of the structured
-grid over a 1D (or 2D) device mesh via ``jax.sharding`` + ``jit``.
+grid over a 1D or 2D device mesh via ``jax.sharding`` + ``jit``.
 
-Decomposition: cell grids (ng, nz, ny, nx, ...) are sharded along one spatial axis
-("y" by default; "z" for tall 3D problems).  Everything the solver does is either
+Decomposition: cell grids (ng, nz, ny, nx, ...) are sharded along one or two spatial
+axes ("y" by default; "z" for tall 3D problems; ("z", "y") for a 2D mesh).
+Everything the solver does is either
 
 * elementwise / small einsum over trailing mode axes — embarrassingly parallel;
 * shifted-slice neighbor coupling (B/B^T, CMFD stencils) — XLA inserts halo
   exchanges (collective-permute over ICI) automatically;
-* tridiagonal solves along mesh lines — for directions orthogonal to the sharded
-  axis these are batch-parallel; along the sharded axis the ``associative_scan``
-  lowers to a log-depth tree whose cross-shard steps become collective permutes;
+* tridiagonal solves along mesh lines — for directions orthogonal to every cut the
+  Pallas Thomas kernels run PER SHARD on complete local lines (``jax.shard_map``
+  wrapping, see ops/apply.py + shardctx.py); along a cut axis the solve uses the
+  ``associative_scan`` path, whose cross-shard steps become collective permutes;
 * two global reductions per outer iteration (fission production, flux norm) — psum.
 
 The per-group Schur CG thus runs fully sharded with only O(boundary) communication
-per matvec — the mixed-FEM analogue of halo-exchange stencil codes.
+per matvec — the mixed-FEM analogue of halo-exchange stencil codes — and keeps the
+fast Thomas kernels on 2 of 3 directions (3 of 3 on the unsharded single chip).
 
 ``dryrun_multichip`` in ``__graft_entry__.py`` validates this path on a virtual
-8-device CPU mesh.
-
-Note: the Pallas Thomas kernel (ops/pallas_tridiag.py) is opaque to GSPMD — for
-multi-chip runs set ``NEUTFEM_PALLAS=0`` so the tridiagonal solves use the
-``associative_scan`` path, which the partitioner handles (sharding a Pallas call
-would force an all-gather of its operands).
+8-device CPU mesh (1D y-shard, 1D z-shard, and a 2x(n/2) 2D mesh).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax
 import numpy as np
@@ -38,78 +35,104 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .fespace import FESpace
 from .power import SolveOptions, power_iteration
+from .shardctx import sharding_scope
 
-__all__ = ["device_mesh", "shard_context", "shard_state", "sharded_power_iteration"]
+__all__ = ["device_mesh", "shard_context", "shard_state", "sharded_power_iteration",
+           "SPATIAL_AXIS"]
 
-#: name of the mesh axis used for spatial decomposition
+#: mesh axis names; a 1D mesh uses the first, a 2D mesh both ((z, y) order)
 SPATIAL_AXIS = "space"
+SPATIAL_AXES_2D = ("space_z", "space_y")
+
+GridAxes = Union[int, Sequence[int]]
 
 
-def device_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
-    """1D device mesh over the available devices."""
+def device_mesh(n_devices: Optional[int] = None, devices=None,
+                shape: Optional[Tuple[int, int]] = None) -> Mesh:
+    """Device mesh over the available devices: 1D by default, 2D when ``shape``
+    (a 2-tuple whose product is the device count) is given."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    return Mesh(np.array(devices), (SPATIAL_AXIS,))
+    devices = np.asarray(devices)
+    if shape is None:
+        return Mesh(devices, (SPATIAL_AXIS,))
+    return Mesh(devices.reshape(shape), SPATIAL_AXES_2D)
 
 
-def _spec_for(key: str, shape, fes: FESpace, grid_axis: int, n_shards: int) -> P:
-    """PartitionSpec sharding the chosen spatial grid axis of a context array.
+def _axis_map(mesh: Mesh, grid_axis: GridAxes) -> Dict[int, str]:
+    """{spatial grid axis (0=nz, 1=ny, 2=nx) -> mesh axis name}."""
+    if isinstance(grid_axis, int):
+        return {grid_axis: mesh.axis_names[0]}
+    gas = list(grid_axis)
+    assert len(gas) == len(mesh.axis_names), (gas, mesh.axis_names)
+    return {ga: nm for ga, nm in zip(gas, mesh.axis_names)}
 
-    grid_axis: 1 => shard ny (axis index within (nz, ny, nx)), 0 => shard nz.
+
+def _spec_for(key: str, shape, axis_map: Dict[int, str], mesh: Mesh) -> P:
+    """PartitionSpec sharding the chosen spatial grid axes of a context array.
+
     Context arrays are either (ng, nz, ny, nx[, ...]) grids, face grids with one
     spatial axis extended by +1 (same rank), plain (nz, ny, nx) grids, or small
-    reference-element tensors.  Arrays whose target dimension is not divisible by
-    the mesh (face grids along the sharded direction, size n+1) are replicated —
-    explicit device_put requires even shards; GSPMD still partitions the compute.
+    reference-element tensors.  A dimension that is not divisible by its mesh axis
+    (face grids along a sharded direction, size n+1) stays replicated — explicit
+    device_put requires even shards; GSPMD still partitions the compute.
     """
     ndim = len(shape)
     if ndim >= 4:  # (ng, nz, ny, nx, ...) or (ng, ng, nz, ny, nx)
         lead = ndim - 3 if key in ("sigs",) else 1
-        axis = lead + grid_axis
     elif ndim == 3:  # (nz, ny, nx) or face-shaped
-        axis = grid_axis
+        lead = 0
     else:
         return P()  # small reference-element tensors
-    if shape[axis] % n_shards != 0:
-        return P()
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     spec = [None] * ndim
-    spec[axis] = SPATIAL_AXIS
+    for ga, nm in axis_map.items():
+        axis = lead + ga
+        if axis < ndim and shape[axis] % sizes[nm] == 0:
+            spec[axis] = nm
     return P(*spec)
 
 
-def shard_context(ctx: Dict, mesh: Mesh, fes: FESpace, grid_axis: int = 1) -> Dict:
+def shard_context(ctx: Dict, mesh: Mesh, fes: FESpace, grid_axis: GridAxes = 1) -> Dict:
     """device_put every context array with its spatial sharding."""
-    n_shards = mesh.devices.size
+    amap = _axis_map(mesh, grid_axis)
     out = {}
     for k, v in ctx.items():
-        spec = _spec_for(k, np.shape(v), fes, grid_axis, n_shards)
+        spec = _spec_for(k, np.shape(v), amap, mesh)
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
 
 
-def shard_state(phi, mesh: Mesh, grid_axis: int = 1):
-    """Shard a flux array (ng, nz, ny, nx, P) along the chosen spatial axis."""
-    spec = [None] * phi.ndim
-    spec[1 + grid_axis] = SPATIAL_AXIS
-    return jax.device_put(phi, NamedSharding(mesh, P(*spec)))
+def _phi_spec(axis_map: Dict[int, str]) -> P:
+    spec = [None] * 5  # (ng, nz, ny, nx, P)
+    for ga, nm in axis_map.items():
+        spec[1 + ga] = nm
+    return P(*spec)
+
+
+def shard_state(phi, mesh: Mesh, grid_axis: GridAxes = 1):
+    """Shard a flux array (ng, nz, ny, nx, P) along the chosen spatial axes."""
+    return jax.device_put(phi, NamedSharding(mesh, _phi_spec(_axis_map(mesh, grid_axis))))
 
 
 def sharded_power_iteration(fes: FESpace, ng: int, opts: SolveOptions, mesh: Mesh,
-                            grid_axis: int = 1):
+                            grid_axis: GridAxes = 1):
     """Jitted power iteration whose inputs/outputs live sharded on the mesh.
 
-    Returns a function (ctx, phi0, keff0) -> result dict.  Input ctx/phi0 should be
-    placed with shard_context/shard_state; GSPMD propagates the shardings through
-    the whole while_loop (halo exchanges + psum reductions inserted automatically).
+    Returns (run, phi_sharding); run is (ctx, phi0, keff0) -> result dict.  Input
+    ctx/phi0 should be placed with shard_context/shard_state; GSPMD propagates the
+    shardings through the whole while_loop (halo exchanges + psum reductions
+    inserted automatically), and the A-solves keep the Pallas Thomas kernels on
+    directions orthogonal to the cuts (shardctx.sharding_scope during trace).
     """
-    spec = [None, None, None, None, None]
-    spec[1 + grid_axis] = SPATIAL_AXIS
-    phi_sharding = NamedSharding(mesh, P(*spec))
+    amap = _axis_map(mesh, grid_axis)
+    phi_sharding = NamedSharding(mesh, _phi_spec(amap))
 
     def run(ctx, phi0, keff0):
-        res = power_iteration(fes, ng, opts, ctx, phi0, keff0)
+        with sharding_scope(mesh, amap):
+            res = power_iteration(fes, ng, opts, ctx, phi0, keff0)
         # pin the flux to the spatial decomposition so downstream steps (power
         # edits, repeated solves) stay sharded instead of gathering to one device
         res["phi"] = jax.lax.with_sharding_constraint(res["phi"], phi_sharding)
