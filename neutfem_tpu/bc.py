@@ -15,7 +15,11 @@ NeutFEM.cpp:2128-2131; MIRROR does nothing).  Here (documented deviation, SURVEY
 * NEUMANN(value=0): identical to MIRROR (prescribed zero normal current).
 * ROBIN(alpha, beta): general albedo ``alpha*phi + beta*dphi/dn = 0`` =>
   ``phi_b = (beta / (alpha * D)) (J.n)`` — adds ``beta/(alpha D) * G_ff``.
-* PERIODIC: not yet implemented (raises).
+* PERIODIC: true periodic coupling — the per-direction face system becomes cyclic
+  tridiagonal, solved exactly via Sherman-Morrison on the LDL^T factors
+  (ops/context.py); B/B^T and CMFD wrap around.  Must be set on BOTH ends of the
+  direction.  Reference bug-parity (warn + natural) is available with
+  ``build_context(..., periodic_natural=True)``.
 """
 
 from __future__ import annotations

@@ -46,14 +46,25 @@ def _face_currents(fes: FESpace, ctx: Dict, J) -> Dict[str, jnp.ndarray]:
     return out
 
 
+def _neighbor_pad(ctx, key, x, ax):
+    """Pad x with its out-of-domain neighbors along ax: zeros for a bounded
+    direction, wrap-around for a PERIODIC one (cyc_* context data present)."""
+    if f"cyc_wt_{key}" in ctx:
+        n = x.shape[ax]
+        lo = lax.slice_in_dim(x, n - 1, n, axis=ax)
+        hi = lax.slice_in_dim(x, 0, 1, axis=ax)
+        return jnp.concatenate([lo, x, hi], axis=ax)
+    zero = jnp.zeros_like(lax.slice_in_dim(x, 0, 1, axis=ax))
+    return jnp.concatenate([zero, x, zero], axis=ax)
+
+
 def _deff(fes: FESpace, ctx: Dict, phi_bar, j_phys) -> Dict[str, jnp.ndarray]:
     """Dtilde + Dhat per face per group.  phi_bar: (ng, nz, ny, nx) cell averages."""
     out = {}
     for di in fes.dirs:
         key = f"d{di.d}"
         ax = di.axis + 1  # group axis in front
-        zero = jnp.zeros_like(lax.slice_in_dim(phi_bar, 0, 1, axis=ax))
-        padded = jnp.concatenate([zero, phi_bar, zero], axis=ax)
+        padded = _neighbor_pad(ctx, key, phi_bar, ax)
         n = padded.shape[ax]
         # dphi at face f = phi_L - phi_R with phi outside = 0 (NeutFEM.cpp:840-855)
         dphi = lax.slice_in_dim(padded, 0, n - 1, axis=ax) - lax.slice_in_dim(
@@ -72,8 +83,7 @@ def _lo_matvec(fes: FESpace, ctx: Dict, deff: Dict, x):
     for di in fes.dirs:
         key = f"d{di.d}"
         ax = di.axis + 1
-        zero = jnp.zeros_like(lax.slice_in_dim(x, 0, 1, axis=ax))
-        xp = jnp.concatenate([zero, x, zero], axis=ax)
+        xp = _neighbor_pad(ctx, key, x, ax)
         n = xp.shape[ax]
         x_left = lax.slice_in_dim(xp, 0, n - 2, axis=ax)
         x_right = lax.slice_in_dim(xp, 2, n, axis=ax)

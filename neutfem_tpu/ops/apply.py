@@ -26,7 +26,7 @@ from jax import lax
 from ..fespace import DirectionInfo, FESpace
 from .tridiag import tridiag_solve
 
-__all__ = ["apply_BT_dir", "apply_B_dir", "solve_A_dir", "schur_matvec", "weighted_mass"]
+__all__ = ["apply_BT_dir", "apply_B_dir", "solve_A_dir", "schur_matvec", "weighted_mass", "cyc_args"]
 
 
 def _pad_zero(arr, axis: int, front: bool):
@@ -73,12 +73,17 @@ def solve_A_dir(
     rF,
     rW,
     a_mode: str,
+    cyc=None,
 ):
     """Exact solve of the per-direction RT mass block A_d J = r.
 
     dinv, l : tridiagonal factors over faces (batch..., face_shape); l is None unless a_mode == 'exact'.
     mask    : (face_shape) 1.0 for free faces, 0.0 for pinned (MIRROR / inactive).
     alpha   : (batch..., nz, ny, nx) element coefficient factor_d / D.
+    cyc     : (wt, a0, a1) Sherman-Morrison data for a PERIODIC direction: the face
+              grid has n+1 entries with face n TIED to face 0; the distinct faces
+              form a cyclic tridiagonal solved as y = T~^-1 rc then
+              x = y - wt (a0 y_0 + a1 y_{n-1}) (see ops/context.py).
     Returns (F, W) face and bubble solutions.
     """
     et = fes.et
@@ -94,38 +99,58 @@ def solve_A_dir(
 
     rF = rF * mask[..., None]
     rFs = rF / m_t
-    if a_mode != "exact":
-        F = rFs * dinv[..., None]
-    else:
-        # Shard-aware dispatch: when tracing under parallel.sharded_power_iteration,
-        # directions orthogonal to the mesh cut keep the Pallas kernel via a
-        # shard_map of per-shard local solves; the direction along the cut falls
-        # back to the GSPMD-partitionable associative_scan inside tridiag_solve
-        # (its cross-shard steps lower to collective permutes).
-        from ..shardctx import current_sharding
 
-        sh = current_sharding()
-        shard = None
-        force_scan = False
-        if sh is not None:
-            mesh, axis_map = sh
-            if di.axis in axis_map:
-                force_scan = True  # lines cross the cut: no local Thomas possible
-            else:
-                base = (ax % rFs.ndim) - di.axis  # spatial dims at base+(0,1,2)
-                shard = (mesh, {base + ga: nm for ga, nm in axis_map.items()})
+    # Shard-aware dispatch: when tracing under parallel.sharded_power_iteration,
+    # directions orthogonal to the mesh cut keep the Pallas kernel via a shard_map
+    # of per-shard local solves; the direction along the cut uses the
+    # GSPMD-partitionable associative_scan (cross-shard collective permutes).
+    from ..shardctx import current_sharding
+
+    sh = current_sharding()
+    shard = None
+    force_scan = False
+    if sh is not None and a_mode == "exact":
+        mesh, axis_map = sh
+        if di.axis in axis_map:
+            force_scan = True  # lines cross the cut: no local Thomas possible
+        else:
+            base = (ax % rFs.ndim) - di.axis  # spatial dims at base+(0,1,2)
+            shard = (mesh, {base + ga: nm for ga, nm in axis_map.items()})
+
+    def _line_solve(r, axn):
         if force_scan:
             from .tridiag import _scan_solve
 
-            axn = ax % rFs.ndim
-            n = rFs.shape[axn]
-            dinv_b = jnp.broadcast_to(dinv[..., None], rFs.shape)
+            n = r.shape[axn]
+            dinv_b = jnp.broadcast_to(dinv[..., None], r.shape)
             l_b = jnp.broadcast_to(
-                l[..., None], rFs.shape[:axn] + (n - 1,) + rFs.shape[axn + 1:]
+                l[..., None], r.shape[:axn] + (n - 1,) + r.shape[axn + 1:]
             )
-            F = _scan_solve(rFs, dinv_b, l_b, axn)
-        else:
-            F = tridiag_solve(rFs, dinv[..., None], l[..., None], axis=ax, shard=shard)
+            return _scan_solve(r, dinv_b, l_b, axn)
+        return tridiag_solve(r, dinv[..., None], l[..., None], axis=axn, shard=shard)
+
+    if cyc is not None:
+        # periodic direction: fold the tied face n into face 0, solve the cyclic
+        # system via Sherman-Morrison, then re-expand (F[n] = F[0]).
+        wt, a0, a1 = cyc
+        axn = ax % rFs.ndim
+        n1 = rFs.shape[axn]
+        body = lax.slice_in_dim(rFs, 0, n1 - 1, axis=axn)
+        last = lax.slice_in_dim(rFs, n1 - 1, n1, axis=axn)
+        first = lax.slice_in_dim(body, 0, 1, axis=axn) + last
+        rc = jnp.concatenate(
+            [first, lax.slice_in_dim(body, 1, n1 - 1, axis=axn)], axis=axn
+        )
+        y = _line_solve(rc, axn)
+        y0 = lax.slice_in_dim(y, 0, 1, axis=axn)
+        yl = lax.slice_in_dim(y, n1 - 2, n1 - 1, axis=axn)
+        s = a0[..., None] * y0 + a1[..., None] * yl
+        x = y - wt[..., None] * s
+        F = jnp.concatenate([x, lax.slice_in_dim(x, 0, 1, axis=axn)], axis=axn)
+    elif a_mode != "exact":
+        F = rFs * dinv[..., None]
+    else:
+        F = _line_solve(rFs, ax % rFs.ndim)
     F = F * mask[..., None]
 
     W = None
@@ -141,6 +166,14 @@ def solve_A_dir(
         W = W - jnp.einsum("bf,...ft->...bt", G, F_loc)
     return F, W
 
+
+
+def cyc_args(ctx: Dict, key: str):
+    """Sherman-Morrison bundle for a periodic direction, or None."""
+    wt = ctx.get(f"cyc_wt_{key}")
+    if wt is None:
+        return None
+    return (wt, ctx[f"cyc_a0_{key}"], ctx[f"cyc_a1_{key}"])
 
 def solve_A(fes: FESpace, ctx: Dict, rhs_by_dir, a_mode: str):
     """Apply A^{-1} to per-direction rhs dict {f"d{d}": (rF, rW)} -> same structure."""
@@ -158,6 +191,7 @@ def solve_A(fes: FESpace, ctx: Dict, rhs_by_dir, a_mode: str):
             rF,
             rW,
             a_mode,
+            cyc=cyc_args(ctx, key),
         )
         out[key] = (F, W)
     return out
@@ -184,6 +218,7 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str):
             rF,
             rW,
             a_mode,
+            cyc=cyc_args(ctx, key),
         )
         out = out + apply_B_dir(fes, di, F, W)
     return out

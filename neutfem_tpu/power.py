@@ -38,7 +38,7 @@ from .accel import (
 from .cmfd import cmfd_correction
 from .fespace import FESpace
 from .krylov import bicgstab, pcg
-from .ops.apply import apply_B_dir, apply_BT_dir, schur_matvec, solve_A_dir
+from .ops.apply import apply_B_dir, apply_BT_dir, cyc_args, schur_matvec, solve_A_dir
 
 __all__ = [
     "SolveOptions",
@@ -93,7 +93,7 @@ def ctx_group(ctx: Dict, g: int) -> Dict:
     """Slice the per-group arrays of the operator context for group g (static int)."""
     out = {}
     for k, v in ctx.items():
-        if k.startswith(("C", "alpha_", "tri_", "precond")):
+        if k.startswith(("C", "alpha_", "tri_", "precond", "cyc_")):
             out[k] = v[g]
         else:
             out[k] = v
@@ -193,6 +193,7 @@ def compute_current(fes: FESpace, ctx: Dict, phi, a_mode: str = "exact"):
             rF,
             rW,
             a_mode,
+            cyc=cyc_args(ctx, key),
         )
         J[key] = {"face": F} if W is None else {"face": F, "bub": W}
     return J

@@ -291,3 +291,21 @@ def test_diag_elementwise_is_loud():
     # shift on this small high-leakage core (vs COLLAPSE to ~0.04 for the broken
     # elementwise scheme at refined meshes)
     assert abs(k_diag - k_exact) < 0.06
+
+
+def test_periodic_bc_through_compat_api():
+    """set_bc(PERIODIC) on both x ends now actually discretizes (reference hole
+    filled per SURVEY 7.1(7)): uniform core -> k_inf; the reference would leak."""
+    n = 12
+    s = make_solver_2d(n, L=24.0)
+    s.set_bc(int(BoundaryID.LEFT_2D), BCType.PERIODIC, 0.0)
+    s.set_bc(int(BoundaryID.RIGHT_2D), BCType.PERIODIC, 0.0)
+    s.set_bc(int(BoundaryID.TOP_2D), BCType.MIRROR, 0.0)
+    s.set_bc(int(BoundaryID.BOTTOM_2D), BCType.MIRROR, 0.0)
+    fill_uniform_xs(s, n)
+    s.BuildMatrices()
+    s.set_tol(1e-9, 1e-8, 1e-8)
+    k = s.SolveKeff()
+    # infinite-medium eigenvalue for the uniform_xs two-group set
+    kinf = 0.005 / 0.028 + 0.135 * 0.018 / (0.028 * 0.10)
+    assert abs(k - kinf) < 1e-7
