@@ -12,7 +12,10 @@ NeutFEM.cpp:2128-2131; MIRROR does nothing).  Here (documented deviation, SURVEY
 * MIRROR: true reflective condition ``J.n = 0`` — essential constraint, the boundary-face
   DOFs are pinned to zero (the reference's no-op version leaks like a zero-flux surface,
   which would make quarter-core symmetry wrong).
-* NEUMANN(value=0): identical to MIRROR (prescribed zero normal current).
+* NEUMANN(value=q): prescribed inward current density q (q=0 == MIRROR).  Nonzero q
+  is an inhomogeneous essential condition, lifted as J = J' + J_q with a precomputed
+  fixed flux-space source (src_bc) consumed by the fixed-source solves; the
+  reference accepts the value and silently ignores it (wrapper.cpp:401-423).
 * ROBIN(alpha, beta): general albedo ``alpha*phi + beta*dphi/dn = 0`` =>
   ``phi_b = (beta / (alpha * D)) (J.n)`` — adds ``beta/(alpha D) * G_ff``.
 * PERIODIC: true periodic coupling — the per-direction face system becomes cyclic

@@ -94,6 +94,7 @@ def build_context(
 
     ctx_np: Dict[str, np.ndarray] = {"C": C}
     pre = C.copy()
+    src_bc = np.zeros_like(C)  # fixed flux-space rhs from inhomogeneous BCs
 
     jacs = [mesh.h_grid(a) / 2.0 for a in range(3)]  # fake axes: h=2 -> jac=1
 
@@ -199,6 +200,8 @@ def build_context(
         offd = alpha * K[0, 1]  # (ng, nz, ny, nx): coupling between faces e and e+1
 
         mask = np.ones(di.face_shape)
+        jpin = np.zeros(fshape)       # prescribed DOF values at pinned faces (t=0)
+        neumann_c = np.zeros(fshape)  # (A J_q) restricted to the free faces
 
         # --- boundary conditions on the two ends of this direction ---------
         tr_axes = [a for a in range(3) if a != d and mesh.active(a)]
@@ -228,8 +231,19 @@ def build_context(
                     c = bcs.robin_beta / (bcs.robin_alpha * D[elem_sl])
                 diag[face_sl] += c * (2.0**n_tr) / fa_b
             elif kind in (BCKind.MIRROR, BCKind.NEUMANN):
-                if kind == BCKind.NEUMANN and abs(bcs.value(attr)) > 0:
-                    raise NotImplementedError("nonzero NEUMANN current not yet supported")
+                q = bcs.value(attr) if kind == BCKind.NEUMANN else 0.0
+                if q != 0.0:
+                    # prescribed inward current density q (> 0 into the domain):
+                    # an inhomogeneous essential condition J.n = -q (lower end:
+                    # J_d = +q).  Lift: J = J' + J_q with J' homogeneous-pinned;
+                    # record the DOF value (physical current / Piola scale) and
+                    # the A-coupling it sheds onto the adjacent free face.
+                    js_b = (jacs[d] / detJ)[_axslice(3, ax, e_idx)]  # boundary cell scale
+                    qdof = (q if not upper else -q) / js_b  # (transverse shape)
+                    jpin[face_sl] = qdof[None]
+                    adj_sl = _axslice(4, fax, n_faces - 2 if upper else 1)
+                    cpl = offd[_axslice(4, fax, -1 if upper else 0)]  # before zeroing
+                    neumann_c[adj_sl] += cpl * qdof[None]
                 mask[_axslice(3, ax, f_idx)] = 0.0
                 diag[face_sl] = 1.0
                 offd[_axslice(4, fax, -1 if upper else 0)] = 0.0
@@ -265,6 +279,30 @@ def build_context(
         if l is not None:
             ctx_np[f"tri_l_{key}"] = l
         ctx_np[f"mask_{key}"] = mask
+
+        if np.any(jpin != 0.0):
+            # Inhomogeneous essential lift J = J' + J_q (nonzero NEUMANN):
+            #   A J' = -B^T phi - c,  c = (A J_q)|free  =>  S phi = f + B (J_q - A^-1 c)
+            # Both correction vectors are fixed: precompute
+            #   jcorr = J_q - A_free^-1 c   (added to the output current), and
+            #   src_bc += B jcorr           (added to every fixed-source group rhs).
+            if l is not None:
+                y = _tri_solve_np(np.moveaxis(dinv, fax, -1),
+                                  np.moveaxis(l, fax, -1),
+                                  np.moveaxis(neumann_c, fax, -1), axis=-1)
+                y = np.moveaxis(y, -1, fax)
+            else:
+                y = neumann_c * dinv
+            jcorr = jpin - y * mask[None]
+            ctx_np[f"jcorr_{key}"] = jcorr
+            bx0 = di.BX[0, :, 0]  # (P,) t=0 pairing row, left face
+            bx1 = di.BX[1, :, 0]
+            F_L = jcorr[_axslice(4, fax, slice(0, n_faces - 1))]
+            F_R = jcorr[_axslice(4, fax, slice(1, n_faces))]
+            # sign: the solver's internal convention is S phi = f with
+            # J = +A^-1 B^T phi (flux equation carries +B J), so the lift source
+            # enters with a minus
+            src_bc = src_bc - (F_L[..., None] * bx0 + F_R[..., None] * bx1)
 
         # --- CMFD geometry/coupling data (NeutFEM.cpp:714-809) ---------------
         # Dtilde per face: interior 2 D_L D_R / (D_L h_R + D_R h_L); boundary 2D/h.
@@ -305,6 +343,8 @@ def build_context(
         pre += left[..., None] * coefL + right[..., None] * coefR
 
     ctx_np["precond_inv"] = 1.0 / pre
+    if np.any(src_bc != 0.0):
+        ctx_np["src_bc"] = src_bc
     ctx_np["detJ"] = detJ
     ctx_np["w_mode"] = w_mode
     ctx_np["nsf"] = np.asarray(xs["NSF"], dtype=np.float64)

@@ -93,7 +93,7 @@ def ctx_group(ctx: Dict, g: int) -> Dict:
     """Slice the per-group arrays of the operator context for group g (static int)."""
     out = {}
     for k, v in ctx.items():
-        if k.startswith(("C", "alpha_", "tri_", "precond", "cyc_")):
+        if k.startswith(("C", "alpha_", "tri_", "precond", "cyc_", "src_bc", "jcorr_")):
             out[k] = v[g]
         else:
             out[k] = v
@@ -171,10 +171,14 @@ def _scatter_all(ctx, phi, adjoint: bool = False):
 
 def _external_source(ctx, g: int):
     """Flux-space rhs of the per-element-constant external source Q_g: only the P_0
-    mode is excited, with weight detJ * w_mode[0] (= volume * 1 in P0 units)."""
+    mode is excited, with weight detJ * w_mode[0] (= volume * 1 in P0 units).
+    Adds the fixed boundary source of any inhomogeneous (nonzero-NEUMANN) BC."""
     P = ctx["w_mode"].shape[0]
     onehot = jnp.zeros((P,), ctx["w_mode"].dtype).at[0].set(ctx["w_mode"][0])
-    return (ctx["src"][g] * ctx["detJ"])[..., None] * onehot
+    out = (ctx["src"][g] * ctx["detJ"])[..., None] * onehot
+    if "src_bc" in ctx:
+        out = out + ctx["src_bc"][g]
+    return out
 
 
 def compute_current(fes: FESpace, ctx: Dict, phi, a_mode: str = "exact"):
@@ -195,6 +199,9 @@ def compute_current(fes: FESpace, ctx: Dict, phi, a_mode: str = "exact"):
             a_mode,
             cyc=cyc_args(ctx, key),
         )
+        jc = ctx.get(f"jcorr_{key}")
+        if jc is not None:
+            F = F + jc[..., None]  # inhomogeneous-NEUMANN lift J = J' + J_q
         J[key] = {"face": F} if W is None else {"face": F, "bub": W}
     return J
 
