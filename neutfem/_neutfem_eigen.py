@@ -121,6 +121,27 @@ _SOLVER_NAMES = {
 _SOLVER_KIND = {t: "cg" for t in LinearSolverType}
 
 
+_CALLBACKS_OK: Optional[bool] = None
+
+
+def _callbacks_supported() -> bool:
+    """Whether the active backend can run jax.debug.print host callbacks (the
+    axon-tunneled TPU cannot: 'axon_pjrt does not support host send/recv').
+    Probed once; the per-iteration VERBOSE lines degrade gracefully without it."""
+    global _CALLBACKS_OK
+    if _CALLBACKS_OK is None:
+        try:
+            def probe(x):
+                jax.debug.print("", ordered=False)
+                return x
+
+            jax.jit(probe)(jnp.zeros(())).block_until_ready()
+            _CALLBACKS_OK = True
+        except Exception:
+            _CALLBACKS_OK = False
+    return _CALLBACKS_OK
+
+
 def _subcell_average_matrix(order: int, r: int) -> np.ndarray:
     """T[s, n] = average of Legendre P_n over subcell s of [-1,1] split into r parts,
     via the antiderivative identity (2n+1) ∫ P_n = P_{n+1} - P_{n-1}."""
@@ -262,8 +283,10 @@ class NeutFEM:
             use_cmfd=use_cmfd,
             cmfd_omega=self._cmfd_omega,
             diag_elementwise=diag_elementwise,
-            # reference per-iteration console line every 5 outers (NeutFEM.cpp:1791)
-            log_every=5 if self._verbosity >= VerbosityLevel.VERBOSE else 0,
+            # reference per-iteration console line every 5 outers (NeutFEM.cpp:1791);
+            # requires host-callback support (absent on the axon-tunneled TPU)
+            log_every=5 if (self._verbosity >= VerbosityLevel.VERBOSE
+                            and _callbacks_supported()) else 0,
         )
 
     def _solver_fn(self, opts: SolveOptions, adjoint: bool, hold_keff: bool):

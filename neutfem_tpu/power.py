@@ -70,6 +70,15 @@ class SolveOptions:
     use_cmfd: bool = False        # CMFD nonlinear acceleration (excludes Chebyshev)
     cmfd_omega: float = 1.0       # CMFD correction relaxation (SetCMFDRelaxation)
     cmfd_from_iter: int = 2       # first outer iteration with CMFD (NeutFEM.cpp:1750)
+    cmfd_mode: str = "fixed"      # "fixed": reference-style single lo solve
+                                  # (stable; converges to the right k but gains
+                                  # little — the exact-closure lo operator is
+                                  # INDEFINITE for this discretization, see
+                                  # cmfd.cmfd_correction docstring) |
+                                  # "wielandt": experimental lo eigensolve
+    cmfd_use_lo_k: bool = False   # take keff from the lo eigensolve (wielandt
+                                  # mode only; unstable on indefinite lo systems)
+    cmfd_lo_outers: int = 60      # wielandt-mode cap on lo iterations
     sweep: str = "gs"             # group sweep: "gs" (reference Gauss-Seidel) |
                                   # "jacobi" (all groups in ONE batched Schur CG).
                                   # Jacobi is ~8x cheaper per outer on 4-group
@@ -281,19 +290,29 @@ def power_iteration(
             last_inner = res.iterations
             last_resid = res.residual.astype(dtype)
 
+        cmfd_active = jnp.asarray(False)
+        k_lo = keff
         if opts.use_cmfd and not adjoint:
             # CMFD correction from iter >= cmfd_from_iter, BEFORE the k-update
-            # (reference ordering, NeutFEM.cpp:1750-1761).
-            def do_cmfd(p):
+            # (reference ordering, NeutFEM.cpp:1750-1761).  The lo mini-eigensolve
+            # also returns its eigenvalue, which replaces the fission-ratio update.
+            def do_cmfd(args):
+                p, k = args
                 Jc = compute_current(fes, ctx, p, a_mode=opts.a_mode)
-                ratio = cmfd_correction(fes, ctx, p, Jc, keff, omega=opts.cmfd_omega)
-                return p * ratio[..., None]
+                ratio, klo = cmfd_correction(fes, ctx, p, Jc, k,
+                                             omega=opts.cmfd_omega,
+                                             lo_outers=opts.cmfd_lo_outers,
+                                             mode=opts.cmfd_mode)
+                return p * ratio[..., None], klo
 
-            phi = lax.cond(it >= opts.cmfd_from_iter, do_cmfd, lambda p: p, phi)
+            cmfd_active = it >= opts.cmfd_from_iter
+            phi, k_lo = lax.cond(cmfd_active, do_cmfd, lambda a: a, (phi, keff))
 
         prod_new = _production(ctx, phi, adjoint)
         safe_old = jnp.where(prod_old == 0, 1.0, prod_old)
         keff_new = keff * prod_new / safe_old
+        if opts.use_cmfd and not adjoint and opts.cmfd_use_lo_k:
+            keff_new = jnp.where(cmfd_active, k_lo, keff_new)
         diff_k = jnp.abs(keff_new - keff)
         if fixed_keff is None:
             keff = jnp.where(it >= 1, keff_new, keff)
