@@ -22,7 +22,9 @@ Deliberate differences from the reference (SURVEY.md §7.4 — holes filled, not
 from __future__ import annotations
 
 import enum
+import os
 import time
+import warnings
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -112,13 +114,20 @@ _SOLVER_NAMES = {
     LinearSolverType.LCG: "LeastSquaresConjugateGradient",
 }
 
-# On TPU every variant maps onto the equilibrated CG kernel: the Schur complement is
-# SPD, for which CG is optimal (direct factorizations have no sparse-LU analogue in
-# this matrix-free design).  The BiCGSTAB kernel exists in neutfem_tpu.krylov for
-# non-symmetric operators, but is NOT used here: its unsymmetric recurrences overflow
-# under the TPU's emulated float64 on problems with ~1e15 void absorbers (IAEA-3D
-# filler cells), while CG with symmetric Jacobi equilibration is robust.
+# On TPU every iterative variant maps onto the equilibrated CG kernel: the Schur
+# complement is SPD, for which CG is optimal.  The BiCGSTAB kernel exists in
+# neutfem_tpu.krylov for non-symmetric operators, but is NOT used here: its
+# unsymmetric recurrences overflow under the TPU's emulated float64 on problems with
+# ~1e15 void absorbers (IAEA-3D filler cells), while CG with symmetric Jacobi
+# equilibration is robust.  The DIRECT_* variants take the explicit-Schur path
+# (dense S via vmapped matvec + equilibrated Cholesky, ops/direct.py — the TPU
+# analogue of the reference's explicit path, solvers.cpp:259-427), gated to
+# n_phi <= NEUTFEM_DIRECT_MAX_NPHI with a loud CG fallback above it (there is no
+# scalable sparse-LU analogue in this matrix-free design).
 _SOLVER_KIND = {t: "cg" for t in LinearSolverType}
+for _t in (LinearSolverType.DIRECT_LU, LinearSolverType.DIRECT_LDLT,
+           LinearSolverType.DIRECT_LLT):
+    _SOLVER_KIND[_t] = "direct"
 
 
 _CALLBACKS_OK: Optional[bool] = None
@@ -265,7 +274,33 @@ class NeutFEM:
                 self._fes, self._ng, self._xs, self._bcs,
                 a_mode=a_mode, dtype=self._dtype, marshak_d_factor=True,
             )
-        return self._ctx_cache[a_mode]
+        ctx = self._ctx_cache[a_mode]
+        if self._inner_solver() == "direct" and "schur_chol" not in ctx:
+            from neutfem_tpu.ops.direct import attach_dense_schur
+
+            self._log(VerbosityLevel.VERBOSE,
+                      f"Building explicit Schur factors (n_phi={self._fes.n_phi})")
+            attach_dense_schur(self._fes, ctx, a_mode)
+        return ctx
+
+    def _inner_solver(self) -> str:
+        """Resolve the LinearSolverType to an inner-solver kind, applying the
+        dense-direct size gate (reference explicit-Schur path, solvers.cpp:114-124)."""
+        kind = _SOLVER_KIND[self._solver_type]
+        if kind == "direct":
+            from neutfem_tpu.ops.direct import DIRECT_MAX_NPHI
+
+            gate = int(os.environ.get("NEUTFEM_DIRECT_MAX_NPHI", DIRECT_MAX_NPHI))
+            if self._fes.n_phi > gate:
+                warnings.warn(
+                    f"{_SOLVER_NAMES[self._solver_type]}: dense explicit-Schur is "
+                    f"gated to n_phi <= {gate} (have {self._fes.n_phi}); falling "
+                    "back to the equilibrated Schur-CG (raise "
+                    "NEUTFEM_DIRECT_MAX_NPHI to override)",
+                    RuntimeWarning,
+                )
+                return "cg"
+        return kind
 
     def _opts(self, a_mode: str, use_cmfd: bool = False,
               diag_elementwise: bool = False) -> SolveOptions:
@@ -279,7 +314,7 @@ class NeutFEM:
             max_inner=self._max_inner,
             accel=self._accel,
             a_mode=a_mode,
-            inner_solver=_SOLVER_KIND[self._solver_type],
+            inner_solver=self._inner_solver(),
             use_cmfd=use_cmfd,
             cmfd_omega=self._cmfd_omega,
             diag_elementwise=diag_elementwise,

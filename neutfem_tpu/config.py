@@ -45,3 +45,17 @@ index_dtype = jnp.int32
 
 def x64_enabled() -> bool:
     return _X64
+
+
+def set_x64(enabled: bool) -> None:
+    """Switch the working dtype at runtime (before building any solver).
+
+    Needed because ``python -m benchmarks.<tool>`` imports the ``benchmarks``
+    package (→ this module) BEFORE the tool's own module code runs, so setting
+    ``NEUTFEM_X64`` at the tool's module top is already too late.  All package
+    code reads ``config.real_dtype`` by attribute, so flipping it here is safe
+    as long as no solver arrays exist yet."""
+    global _X64, real_dtype
+    _X64 = bool(enabled)
+    jax.config.update("jax_enable_x64", _X64)
+    real_dtype = jnp.float64 if _X64 else jnp.float32

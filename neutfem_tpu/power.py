@@ -102,7 +102,8 @@ def ctx_group(ctx: Dict, g: int) -> Dict:
     """Slice the per-group arrays of the operator context for group g (static int)."""
     out = {}
     for k, v in ctx.items():
-        if k.startswith(("C", "alpha_", "tri_", "precond", "cyc_", "src_bc", "jcorr_")):
+        if k.startswith(("C", "alpha_", "tri_", "precond", "cyc_", "src_bc", "jcorr_",
+                         "schur_")):
             out[k] = v[g]
         else:
             out[k] = v
@@ -133,6 +134,19 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
         return KrylovResult(
             x=x,
             iterations=jnp.asarray(0, jnp.int32),
+            residual=jnp.asarray(0.0, rhs.dtype),
+        )
+    if opts.inner_solver == "direct":
+        # explicit-Schur direct path (reference solvers.cpp:259-427): the dense
+        # equilibrated Cholesky factors were attached to ctx at build time
+        # (ops/direct.attach_dense_schur); each solve is two triangular solves.
+        from .krylov import KrylovResult
+        from .ops.direct import direct_solve
+
+        x = direct_solve(ctxg, rhs)
+        return KrylovResult(
+            x=x,
+            iterations=jnp.asarray(1, jnp.int32),
             residual=jnp.asarray(0.0, rhs.dtype),
         )
     sdi = jnp.sqrt(ctxg["precond_inv"])  # D^-1/2
