@@ -42,7 +42,9 @@ def _face_currents(fes: FESpace, ctx: Dict, J) -> Dict[str, jnp.ndarray]:
     out = {}
     for di in fes.dirs:
         key = f"d{di.d}"
-        out[key] = J[key]["face"][..., 0] * ctx[f"jscale_{key}"]
+        # internal layout (ng, T, *face_shape): t=0 transverse mode at axis -4
+        f0 = lax.index_in_dim(J[key]["face"], 0, axis=-4, keepdims=False)
+        out[key] = f0 * ctx[f"jscale_{key}"]
     return out
 
 
@@ -158,11 +160,13 @@ def cmfd_correction(
     The reference's 2-5x claim was never demonstrated by its own benchmarks
     (CMFD defaults off in every driver; its Dhat exists for X faces only).
 
-    phi: (ng, nz, ny, nx, P) fine flux after the group sweep; J: current dict.
+    phi: (ng, P, nz, ny, nx) fine flux (INTERNAL mode-first layout) after the group
+    sweep; J: current dict (internal layout).
     """
     from .krylov import bicgstab
 
-    phi_bar = phi[..., 0]  # P_0 mode = cell average (Legendre normalization)
+    # P_0 mode = cell average (Legendre normalization); mode axis at -4
+    phi_bar = lax.index_in_dim(phi, 0, axis=-4, keepdims=False)
     j_phys = _face_currents(fes, ctx, J)
     deff = _deff(fes, ctx, phi_bar, j_phys)
     norm0 = jnp.sqrt(jnp.sum(phi_bar * phi_bar))

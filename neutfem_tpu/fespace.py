@@ -1,13 +1,23 @@
 """DOF layout for the mixed RT_k / P_m pair as structured grids.
 
 The reference numbers DOFs into flat vectors with hand-rolled index maps
-(``/root/reference/src/FEM.cpp:172-334``).  Here every DOF family is a *grid*:
+(``/root/reference/src/FEM.cpp:172-334``).  Here every DOF family is a *grid*.
+
+PUBLIC (compat/driver-facing, reference-shaped) layout:
 
 * flux:  ``phi``      shape ``(ng, nz, ny, nx, P)``,  ``P = prod_d (m+1 if d active)``
 * J faces, direction d: shape ``(ng, ..., n_d + 1, ..., T_d)`` — the face axis has one
   more entry than the cell axis; ``T_d = (k+1)^{#active transverse axes}`` transverse
   Legendre modes per face.
 * J bubbles, direction d (k > 0): ``(ng, nz, ny, nx, k, T_d)``.
+
+INTERNAL (solver hot-path) layout is mode-axis-FIRST — ``(ng, P, nz, ny, nx)`` /
+``(ng, T, faces...)`` / ``(ng, k, T, nz, ny, nx)`` — so the minor array dims are
+always spatial (TPU lane-tiling friendly); see ops/apply.py for the rationale and
+the ``phi_to_internal`` / ``phi_to_public`` / ``J_to_public`` converters.
+``power_iteration`` converts at its boundaries; only code calling the ops layer
+directly (``schur_matvec``, ``solve_A_dir``, ``compute_current``...) sees the
+internal layout.
 
 Key structural facts used throughout (derived from Legendre orthogonality of the
 transverse profiles; cf. the basis definitions in /root/reference/include/FEM.hpp:549-621):

@@ -9,10 +9,24 @@ AssembleA/B/C + Eigen products) with stencil contractions:
 * ``solve_A`` is an exact per-direction solve: static condensation of bubble DOFs to a
   face-tridiagonal system, then batched parallel Thomas (see tridiag.py).
 
-Axis convention: all arrays carry spatial dims (nz, ny, nx[+1]) immediately before the
-trailing mode dims, with arbitrary leading batch dims (usually the group axis).
-For direction ``d`` the spatial axis is ``di.axis - 4`` for arrays with one trailing mode
-dim (phi/faces), ``di.axis - 5`` with two (bubbles), ``di.axis - 3`` with none.
+Axis convention (INTERNAL, mode-axis-first — this is load-bearing for TPU layout):
+
+* flux      ``(..., P, nz, ny, nx)``          — mode axis at position -4
+* J face d  ``(..., T, *face_shape)``         — transverse-mode axis at -4
+* J bub  d  ``(..., nbub, T, nz, ny, nx)``    — bubble axis at -5, T at -4
+* spatial axes are ALWAYS the last three; direction d's axis is ``di.axis - 3``.
+
+Why mode-first: with the mode axis trailing (the round-1 layout), the minor array
+dimension has size P/T (1 for RT0-P0) — a default TPU tiled layout then pads every
+lane row 1 -> 128 (128x memory), so XLA's layout assignment flips all flux-sized
+intermediates to a z-minor layout and pays ~9 full-array layout-conversion copies
+per CG iteration converting back at each (default-layout) Pallas custom call:
+measured 41% of device time at 2.6M cells, the 1M->3.5M scaling cliff.  With the
+mode axes leading, the minor dims are spatial, default layouts are near-optimal,
+and every kernel-boundary reshape is a bitcast.
+
+Public (compat/driver) arrays keep the reference-shaped trailing-mode layout
+``(ng, nz, ny, nx, P)``; ``power.py`` converts at its jit boundary (once per solve).
 """
 
 from __future__ import annotations
@@ -26,7 +40,38 @@ from jax import lax
 from ..fespace import DirectionInfo, FESpace
 from .tridiag import tridiag_solve
 
-__all__ = ["apply_BT_dir", "apply_B_dir", "solve_A_dir", "schur_matvec", "weighted_mass", "cyc_args"]
+__all__ = [
+    "apply_BT_dir",
+    "apply_B_dir",
+    "solve_A_dir",
+    "schur_matvec",
+    "weighted_mass",
+    "cyc_args",
+    "phi_to_internal",
+    "phi_to_public",
+    "J_to_public",
+]
+
+
+def phi_to_internal(phi):
+    """Public (..., nz, ny, nx, P) -> internal (..., P, nz, ny, nx)."""
+    return jnp.moveaxis(phi, -1, -4)
+
+
+def phi_to_public(phi):
+    """Internal (..., P, nz, ny, nx) -> public (..., nz, ny, nx, P)."""
+    return jnp.moveaxis(phi, -4, -1)
+
+
+def J_to_public(J: Dict) -> Dict:
+    """Convert a current dict from internal to public (trailing-mode) layout."""
+    out = {}
+    for key, entry in J.items():
+        pub = {"face": jnp.moveaxis(entry["face"], -4, -1)}
+        if "bub" in entry:
+            pub["bub"] = jnp.moveaxis(entry["bub"], (-5, -4), (-2, -1))
+        out[key] = pub
+    return out
 
 
 def _pad_zero(arr, axis: int, front: bool):
@@ -38,28 +83,40 @@ def _pad_zero(arr, axis: int, front: bool):
 
 
 def apply_BT_dir(fes: FESpace, di: DirectionInfo, phi):
-    """B_d^T phi: face rhs (..., n_d+1, T) and bubble rhs (..., n_d, nbub, T) or None."""
+    """B_d^T phi: face rhs (..., T, n_d+1 along di) and bubble rhs (..., nbub, T, sp) or None.
+
+    The P=T=1 (RT0-P0) contraction is a scalar multiply, NOT an einsum: degenerate
+    (1,1) dots would reintroduce layout-assignment pressure for no FLOPs."""
     BX = jnp.asarray(di.BX, dtype=phi.dtype)
-    ax = di.axis - 4
-    c0 = jnp.einsum("...p,pt->...t", phi, BX[0])  # element's left-face row
-    c1 = jnp.einsum("...p,pt->...t", phi, BX[1])  # element's right-face row
+    ax = di.axis - 3
+    if BX.shape[1] == 1 and BX.shape[2] == 1:  # P == T == 1 (RT0-P0)
+        c0 = phi * BX[0, 0, 0]
+        c1 = phi * BX[1, 0, 0]
+    else:
+        c0 = jnp.einsum("...pzyx,pt->...tzyx", phi, BX[0])  # element's left-face row
+        c1 = jnp.einsum("...pzyx,pt->...tzyx", phi, BX[1])  # element's right-face row
     rF = _pad_zero(c0, ax, front=False) + _pad_zero(c1, ax, front=True)
     rW = None
     if fes.et.nbub > 0:
-        rW = jnp.einsum("...p,lpt->...lt", phi, BX[2:])
+        rW = jnp.einsum("...pzyx,lpt->...ltzyx", phi, BX[2:])
     return rF, rW
 
 
 def apply_B_dir(fes: FESpace, di: DirectionInfo, F, W):
-    """B_d J: phi-shaped (..., P) contribution from direction d."""
+    """B_d J: flux-shaped (..., P, sp) contribution from direction d."""
     BX = jnp.asarray(di.BX, dtype=F.dtype)
-    ax = di.axis - 4
+    ax = di.axis - 3
     n = F.shape[ax]
     F_L = lax.slice_in_dim(F, 0, n - 1, axis=ax)  # per-element left face value
     F_R = lax.slice_in_dim(F, 1, n, axis=ax)
-    out = jnp.einsum("...t,pt->...p", F_L, BX[0]) + jnp.einsum("...t,pt->...p", F_R, BX[1])
+    if BX.shape[1] == 1 and BX.shape[2] == 1:  # P == T == 1 (RT0-P0)
+        # degenerate RT0-P0 contraction: elementwise (see apply_BT_dir docstring)
+        out = F_L * BX[0, 0, 0] + F_R * BX[1, 0, 0]
+    else:
+        out = (jnp.einsum("...tzyx,pt->...pzyx", F_L, BX[0])
+               + jnp.einsum("...tzyx,pt->...pzyx", F_R, BX[1]))
     if W is not None:
-        out = out + jnp.einsum("...lt,lpt->...p", W, BX[2:])
+        out = out + jnp.einsum("...ltzyx,lpt->...pzyx", W, BX[2:])
     return out
 
 
@@ -84,21 +141,25 @@ def solve_A_dir(
               grid has n+1 entries with face n TIED to face 0; the distinct faces
               form a cyclic tridiagonal solved as y = T~^-1 rc then
               x = y - wt (a0 y_0 + a1 y_{n-1}) (see ops/context.py).
-    Returns (F, W) face and bubble solutions.
+    Returns (F, W) face and bubble solutions (internal layout).
     """
     et = fes.et
-    ax = di.axis - 4
-    m_t = jnp.asarray(di.m_t, dtype=rF.dtype)
+    ax = di.axis - 3
+    m_t = jnp.asarray(di.m_t, dtype=rF.dtype).reshape(-1, 1, 1, 1)
 
     if rW is not None:
         GT = jnp.asarray(et.G.T, dtype=rF.dtype)  # (2, nbub) = M_fb M_bb^-1
-        corr = jnp.einsum("fb,...bt->...ft", GT, rW)  # (..., nz,ny,nx, 2, T)
-        corr0 = corr[..., 0, :]
-        corr1 = corr[..., 1, :]
+        corr = jnp.einsum("fb,...btzyx->...ftzyx", GT, rW)  # (..., 2, T, sp)
+        corr0 = lax.index_in_dim(corr, 0, axis=-5, keepdims=False)
+        corr1 = lax.index_in_dim(corr, 1, axis=-5, keepdims=False)
         rF = rF - _pad_zero(corr0, ax, front=False) - _pad_zero(corr1, ax, front=True)
 
-    rF = rF * mask[..., None]
+    rF = rF * mask
     rFs = rF / m_t
+
+    # factors have no T axis: align them against (..., T, face_shape)
+    dinv_e = jnp.expand_dims(dinv, -4)
+    l_e = jnp.expand_dims(l, -4) if l is not None else None
 
     # Shard-aware dispatch: when tracing under parallel.sharded_power_iteration,
     # directions orthogonal to the mesh cut keep the Pallas kernel via a shard_map
@@ -114,7 +175,7 @@ def solve_A_dir(
         if di.axis in axis_map:
             force_scan = True  # lines cross the cut: no local Thomas possible
         else:
-            base = (ax % rFs.ndim) - di.axis  # spatial dims at base+(0,1,2)
+            base = rFs.ndim - 3  # spatial dims are the last three
             shard = (mesh, {base + ga: nm for ga, nm in axis_map.items()})
 
     def _line_solve(r, axn):
@@ -122,17 +183,18 @@ def solve_A_dir(
             from .tridiag import _scan_solve
 
             n = r.shape[axn]
-            dinv_b = jnp.broadcast_to(dinv[..., None], r.shape)
-            l_b = jnp.broadcast_to(
-                l[..., None], r.shape[:axn] + (n - 1,) + r.shape[axn + 1:]
-            )
+            dinv_b = jnp.broadcast_to(dinv_e, r.shape)
+            l_b = jnp.broadcast_to(l_e, r.shape[:axn] + (n - 1,) + r.shape[axn + 1:])
             return _scan_solve(r, dinv_b, l_b, axn)
-        return tridiag_solve(r, dinv[..., None], l[..., None], axis=axn, shard=shard)
+        return tridiag_solve(r, dinv_e, l_e, axis=axn, shard=shard)
 
     if cyc is not None:
         # periodic direction: fold the tied face n into face 0, solve the cyclic
         # system via Sherman-Morrison, then re-expand (F[n] = F[0]).
         wt, a0, a1 = cyc
+        wt_e = jnp.expand_dims(wt, -4)
+        a0_e = jnp.expand_dims(a0, -4)
+        a1_e = jnp.expand_dims(a1, -4)
         axn = ax % rFs.ndim
         n1 = rFs.shape[axn]
         body = lax.slice_in_dim(rFs, 0, n1 - 1, axis=axn)
@@ -144,14 +206,14 @@ def solve_A_dir(
         y = _line_solve(rc, axn)
         y0 = lax.slice_in_dim(y, 0, 1, axis=axn)
         yl = lax.slice_in_dim(y, n1 - 2, n1 - 1, axis=axn)
-        s = a0[..., None] * y0 + a1[..., None] * yl
-        x = y - wt[..., None] * s
+        s = a0_e * y0 + a1_e * yl
+        x = y - wt_e * s
         F = jnp.concatenate([x, lax.slice_in_dim(x, 0, 1, axis=axn)], axis=axn)
     elif a_mode != "exact":
-        F = rFs * dinv[..., None]
+        F = rFs * dinv_e
     else:
         F = _line_solve(rFs, ax % rFs.ndim)
-    F = F * mask[..., None]
+    F = F * mask
 
     W = None
     if rW is not None:
@@ -160,10 +222,11 @@ def solve_A_dir(
         n = F.shape[ax]
         F_loc = jnp.stack(
             [lax.slice_in_dim(F, 0, n - 1, axis=ax), lax.slice_in_dim(F, 1, n, axis=ax)],
-            axis=-2,
-        )  # (..., 2, T)
-        W = jnp.einsum("bc,...ct->...bt", Mbb_inv, rW) / (alpha[..., None, None] * m_t)
-        W = W - jnp.einsum("bf,...ft->...bt", G, F_loc)
+            axis=-5,
+        )  # (..., 2, T, sp)
+        alpha_e = jnp.expand_dims(alpha, (-5, -4))
+        W = jnp.einsum("bc,...ctzyx->...btzyx", Mbb_inv, rW) / (alpha_e * m_t)
+        W = W - jnp.einsum("bf,...ftzyx->...btzyx", G, F_loc)
     return F, W
 
 
@@ -202,7 +265,8 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str):
 
     Mirrors the reference's implicit SchurProduct (solvers.cpp:535-547) but with an
     exact, batched A-solve instead of a global LU backsolve.
-    `v` and the ctx arrays must agree in leading batch dims (all groups or one group).
+    `v` (internal layout) and the ctx arrays must agree in leading batch dims
+    (all groups or one group).
     """
     out = ctx["C"] * v
     for di in fes.dirs:
@@ -224,11 +288,12 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str):
     return out
 
 
-def weighted_mass(fes: FESpace, coeff, detJ, w_mode, phi):
+def weighted_mass(fes: FESpace, coeff, detJ, w_mode_col, phi):
     """(coeff-weighted mass) @ phi — diagonal in the tensor-Legendre basis.
 
     coeff: (..., nz, ny, nx) per-element coefficient (e.g. nu-Sigma_f);
-    returns coeff * detJ * w_mode * phi, the exact weighted mass product
-    (reference AssembleWeightedMassMatrix / AssembleFissionMatrix, NeutFEM.cpp:1204-1252).
+    w_mode_col: (P, 1, 1, 1) per-mode mass weight; phi internal (..., P, sp).
+    Returns the exact weighted mass product (reference AssembleWeightedMassMatrix /
+    AssembleFissionMatrix, NeutFEM.cpp:1204-1252).
     """
-    return (coeff * detJ)[..., None] * (w_mode * phi)
+    return jnp.expand_dims(coeff * detJ, -4) * (w_mode_col * phi)

@@ -3,7 +3,8 @@
 The reference assembles global CSR matrices per group (NeutFEM.cpp:402-457).  Here the
 "matrices" are a handful of dense grids:
 
-* ``C``            (ng, nz, ny, nx, P): diagonal removal term Sigma_r * detJ * w_mode
+* ``C``            (ng, P, nz, ny, nx): diagonal removal term Sigma_r * detJ * w_mode
+                   (INTERNAL mode-first layout — see ops/apply.py header)
 * ``alpha_d{d}``   (ng, nz, ny, nx): per-element RT mass coefficient factor_d / D_g,
                    with the contravariant-Piola scaling factor_d = jac_d^2 / detJ
                    (= hx/2 in 1D, hx/hy in 2D, 2hx/(hy hz) in 3D for d=x).
@@ -11,7 +12,7 @@ The reference assembles global CSR matrices per group (NeutFEM.cpp:402-457).  He
   A-blocks (per group, per direction), built once — this removes the reference's
   per-solve re-factorization defect (NeutFEM.cpp:2094-2097).
 * ``mask_d{d}``    boundary-face pin mask (MIRROR / NEUMANN-0 essential conditions).
-* ``precond``      (ng, nz, ny, nx, P): inverse of a lumped diag(S) estimate — the
+* ``precond``      (ng, P, nz, ny, nx): inverse of a lumped diag(S) estimate — the
   TPU-native role of the reference's "diagonal Schur" formula
   S_ee = C_ee + sum_f B_ef^2 / A_ff  (NeutFEM.cpp:459-473), used as a Jacobi
   preconditioner for the Schur CG.
@@ -85,7 +86,8 @@ def build_context(
     D = np.asarray(xs["D"], dtype=np.float64)
     SigR = np.asarray(xs["SigR"], dtype=np.float64)
 
-    C = SigR[..., None] * detJ[None, ..., None] * w_mode  # (ng, nz, ny, nx, P)
+    w_col = w_mode.reshape(1, -1, 1, 1, 1)
+    C = SigR[:, None] * detJ[None, None] * w_col  # (ng, P, nz, ny, nx)
 
     if lumped:
         K = np.diag(et.M1_lumped[:2])  # row-sum lumping -> mesh-centered finite difference
@@ -188,9 +190,9 @@ def build_context(
             right = np.roll(inv_diag_c, -1, axis=fax)  # right face = face (i+1)%n
             m_t_of_p = di.m_t[di.p_to_t]
             pd = fes.modes[:, d]
-            coefL = (et.D1[pd, 0] ** 2) * m_t_of_p
-            coefR = (et.D1[pd, 1] ** 2) * m_t_of_p
-            pre += left[..., None] * coefL + right[..., None] * coefR
+            coefL = ((et.D1[pd, 0] ** 2) * m_t_of_p).reshape(1, -1, 1, 1, 1)
+            coefR = ((et.D1[pd, 1] ** 2) * m_t_of_p).reshape(1, -1, 1, 1, 1)
+            pre += left[:, None] * coefL + right[:, None] * coefR
             continue
 
         diag = np.zeros(fshape)
@@ -295,14 +297,14 @@ def build_context(
                 y = neumann_c * dinv
             jcorr = jpin - y * mask[None]
             ctx_np[f"jcorr_{key}"] = jcorr
-            bx0 = di.BX[0, :, 0]  # (P,) t=0 pairing row, left face
-            bx1 = di.BX[1, :, 0]
+            bx0 = di.BX[0, :, 0].reshape(1, -1, 1, 1, 1)  # (P,) t=0 pairing row, left face
+            bx1 = di.BX[1, :, 0].reshape(1, -1, 1, 1, 1)
             F_L = jcorr[_axslice(4, fax, slice(0, n_faces - 1))]
             F_R = jcorr[_axslice(4, fax, slice(1, n_faces))]
             # sign: the solver's internal convention is S phi = f with
             # J = +A^-1 B^T phi (flux equation carries +B J), so the lift source
             # enters with a minus
-            src_bc = src_bc - (F_L[..., None] * bx0 + F_R[..., None] * bx1)
+            src_bc = src_bc - (F_L[:, None] * bx0 + F_R[:, None] * bx1)
 
         # --- CMFD geometry/coupling data (NeutFEM.cpp:714-809) ---------------
         # Dtilde per face: interior 2 D_L D_R / (D_L h_R + D_R h_L); boundary 2D/h.
@@ -338,15 +340,16 @@ def build_context(
         right = inv_diag[_axslice(4, fax, slice(1, n_faces))]
         m_t_of_p = di.m_t[di.p_to_t]  # (P,)
         pd = fes.modes[:, d]
-        coefL = (et.D1[pd, 0] ** 2) * m_t_of_p
-        coefR = (et.D1[pd, 1] ** 2) * m_t_of_p
-        pre += left[..., None] * coefL + right[..., None] * coefR
+        coefL = ((et.D1[pd, 0] ** 2) * m_t_of_p).reshape(1, -1, 1, 1, 1)
+        coefR = ((et.D1[pd, 1] ** 2) * m_t_of_p).reshape(1, -1, 1, 1, 1)
+        pre += left[:, None] * coefL + right[:, None] * coefR
 
     ctx_np["precond_inv"] = 1.0 / pre
     if np.any(src_bc != 0.0):
         ctx_np["src_bc"] = src_bc
     ctx_np["detJ"] = detJ
-    ctx_np["w_mode"] = w_mode
+    ctx_np["w_mode"] = w_mode                       # (P,) public trailing-mode weight
+    ctx_np["w_mode_col"] = w_mode.reshape(-1, 1, 1, 1)  # internal mode-first broadcast
     ctx_np["nsf"] = np.asarray(xs["NSF"], dtype=np.float64)
     ctx_np["chi"] = np.asarray(xs["Chi"], dtype=np.float64)
     ctx_np["sigs"] = np.asarray(xs["SigS"], dtype=np.float64)

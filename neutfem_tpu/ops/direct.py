@@ -38,7 +38,7 @@ def dense_schur_group(fes, ctxg: Dict, a_mode: str):
     the matrix-free ``schur_matvec`` to the identity basis (batched via vmap)."""
     from .apply import schur_matvec
 
-    shape = (*fes.mesh.shape, fes.P)
+    shape = (fes.P, *fes.mesh.shape)  # internal mode-first layout
     n = 1
     for s in shape:
         n *= s

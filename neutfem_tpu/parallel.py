@@ -73,19 +73,17 @@ def _axis_map(mesh: Mesh, grid_axis: GridAxes) -> Dict[int, str]:
 def _spec_for(key: str, shape, axis_map: Dict[int, str], mesh: Mesh) -> P:
     """PartitionSpec sharding the chosen spatial grid axes of a context array.
 
-    Context arrays are either (ng, nz, ny, nx[, ...]) grids, face grids with one
-    spatial axis extended by +1 (same rank), plain (nz, ny, nx) grids, or small
-    reference-element tensors.  A dimension that is not divisible by its mesh axis
+    Context arrays carry their spatial (nz, ny, nx[+1]) axes as the LAST three
+    dims (internal mode-first layout, ops/apply.py header), with any batch axes
+    (group, mode) in front.  A dimension that is not divisible by its mesh axis
     (face grids along a sharded direction, size n+1) stays replicated — explicit
     device_put requires even shards; GSPMD still partitions the compute.
     """
     ndim = len(shape)
-    if ndim >= 4:  # (ng, nz, ny, nx, ...) or (ng, ng, nz, ny, nx)
-        lead = ndim - 3 if key in ("sigs",) else 1
-    elif ndim == 3:  # (nz, ny, nx) or face-shaped
-        lead = 0
-    else:
-        return P()  # small reference-element tensors
+    if ndim < 3 or key.startswith("schur_"):
+        # small reference-element tensors / dense Schur factors: replicate
+        return P()
+    lead = ndim - 3  # spatial axes are the last three
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     spec = [None] * ndim
     for ga, nm in axis_map.items():

@@ -38,7 +38,16 @@ from .accel import (
 from .cmfd import cmfd_correction
 from .fespace import FESpace
 from .krylov import bicgstab, pcg
-from .ops.apply import apply_B_dir, apply_BT_dir, cyc_args, schur_matvec, solve_A_dir
+from .ops.apply import (
+    J_to_public,
+    apply_B_dir,
+    apply_BT_dir,
+    cyc_args,
+    phi_to_internal,
+    phi_to_public,
+    schur_matvec,
+    solve_A_dir,
+)
 
 __all__ = [
     "SolveOptions",
@@ -158,9 +167,10 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
 
 def _fission_source(ctx, phi, adjoint: bool = False):
     """Direct: total_fiss = sum_g (nuSigf_g-weighted mass) phi_g   (NeutFEM.cpp:1700-1707).
-    Adjoint: total_chi = sum_g (chi_g-weighted mass) phi_adj_g     (NeutFEM.cpp:1919-1924)."""
+    Adjoint: total_chi = sum_g (chi_g-weighted mass) phi_adj_g     (NeutFEM.cpp:1919-1924).
+    phi internal (ng, P, sp); returns (P, sp)."""
     w = (ctx["chi"] if adjoint else ctx["nsf"]) * ctx["detJ"]  # (ng, nz, ny, nx)
-    return jnp.sum(w[..., None] * (ctx["w_mode"] * phi), axis=0)
+    return jnp.sum(jnp.expand_dims(w, -4) * (ctx["w_mode_col"] * phi), axis=0)
 
 
 def _production(ctx, phi, adjoint: bool = False):
@@ -168,9 +178,9 @@ def _production(ctx, phi, adjoint: bool = False):
     if adjoint:
         # sum_g sum_dofs nuSigf_g * total_chi  (NeutFEM.cpp:1929-1932, 1963-1966)
         total_chi = _fission_source(ctx, phi, adjoint=True)
-        return jnp.sum(jnp.sum(ctx["nsf"], axis=0)[..., None] * total_chi)
+        return jnp.sum(jnp.sum(ctx["nsf"], axis=0) * total_chi)
     w = ctx["nsf"] * ctx["detJ"]
-    return jnp.sum(w[..., None] * (ctx["w_mode"] * phi))
+    return jnp.sum(jnp.expand_dims(w, -4) * (ctx["w_mode_col"] * phi))
 
 
 def _scatter_into(ctx, g: int, phi, adjoint: bool = False):
@@ -182,8 +192,8 @@ def _scatter_into(ctx, g: int, phi, adjoint: bool = False):
         if gp == g:
             continue
         sig = ctx["sigs"][gp, g] if adjoint else ctx["sigs"][g, gp]
-        w = sig * ctx["detJ"]
-        out = out + w[..., None] * (ctx["w_mode"] * phi[gp])
+        w = sig * ctx["detJ"]  # (nz, ny, nx): broadcasts against (P, sp)
+        out = out + w * (ctx["w_mode_col"] * phi[gp])
     return out
 
 
@@ -196,16 +206,19 @@ def _external_source(ctx, g: int):
     """Flux-space rhs of the per-element-constant external source Q_g: only the P_0
     mode is excited, with weight detJ * w_mode[0] (= volume * 1 in P0 units).
     Adds the fixed boundary source of any inhomogeneous (nonzero-NEUMANN) BC."""
-    P = ctx["w_mode"].shape[0]
-    onehot = jnp.zeros((P,), ctx["w_mode"].dtype).at[0].set(ctx["w_mode"][0])
-    out = (ctx["src"][g] * ctx["detJ"])[..., None] * onehot
+    wm = ctx["w_mode_col"]  # (P, 1, 1, 1)
+    onehot = jnp.zeros_like(wm).at[0].set(wm[0])
+    out = (ctx["src"][g] * ctx["detJ"]) * onehot  # (P, nz, ny, nx)
     if "src_bc" in ctx:
         out = out + ctx["src_bc"][g]
     return out
 
 
 def compute_current(fes: FESpace, ctx: Dict, phi, a_mode: str = "exact"):
-    """J = A^{-1} B^T phi for all groups: the physical current DOFs (J = -D grad phi)."""
+    """J = A^{-1} B^T phi for all groups: the physical current DOFs (J = -D grad phi).
+
+    phi and the returned J use the INTERNAL mode-first layout (ops/apply.py header);
+    convert with J_to_public for the reference-shaped trailing-mode layout."""
     J = {}
     for di in fes.dirs:
         key = f"d{di.d}"
@@ -224,7 +237,7 @@ def compute_current(fes: FESpace, ctx: Dict, phi, a_mode: str = "exact"):
         )
         jc = ctx.get(f"jcorr_{key}")
         if jc is not None:
-            F = F + jc[..., None]  # inhomogeneous-NEUMANN lift J = J' + J_q
+            F = F + jnp.expand_dims(jc, -4)  # inhomogeneous-NEUMANN lift J = J' + J_q
         J[key] = {"face": F} if W is None else {"face": F, "bub": W}
     return J
 
@@ -241,12 +254,16 @@ def power_iteration(
 ):
     """Run the accelerated power iteration.  Returns a result dict (device arrays).
 
-    phi0: (ng, nz, ny, nx, P) initial flux; keff0: scalar initial eigenvalue.
+    phi0: (ng, nz, ny, nx, P) initial flux (public trailing-mode layout; converted
+    to the internal mode-first layout at entry — see ops/apply.py header — and back
+    at exit, so results keep the reference-shaped layout).
+    keff0: scalar initial eigenvalue.
     adjoint: solve the adjoint problem (transposed chi/nuSigf/SigS coupling,
     NeutFEM.cpp:1877-2082); A and C are symmetric so the same Schur solve is reused.
     fixed_keff: if given, the eigenvalue is held fixed (reference use_direct_keff mode)
     and convergence is on the flux only.
     """
+    phi0 = phi_to_internal(phi0)
     dtype = phi0.dtype
     # Chebyshev is applied only when CMFD is off (reference NeutFEM.cpp:1786-1788).
     # It is also disabled for the Jacobi group sweep: that iteration's subdominant
@@ -275,7 +292,7 @@ def power_iteration(
         if opts.sweep == "jacobi":
             # all groups at once: scattering from the OLD fluxes, one batched CG over
             # the leading group axis (ctx arrays already carry ng in front)
-            rhs = rhs_w[..., None] * total_fiss / keff + _scatter_all(ctx, phi, adjoint)
+            rhs = jnp.expand_dims(rhs_w, -4) * total_fiss / keff + _scatter_all(ctx, phi, adjoint)
             x0 = phi if opts.warm_start else jnp.zeros_like(phi)
             res = group_solve(fes, ctx, opts, rhs, x0)
             phi = res.x
@@ -295,7 +312,7 @@ def power_iteration(
             # chi (nuSigf in adjoint mode) is constant per element, so it multiplies
             # every local mode of the (already mass-weighted) fission source
             # (reference BuildFissionRHS, NeutFEM.cpp:1539-1589).
-            rhs = rhs_w[g][..., None] * total_fiss / keff
+            rhs = rhs_w[g] * total_fiss / keff  # (sp) * (P, sp)
             rhs = rhs + _scatter_into(ctx, g, phi, adjoint)
             x0 = phi[g] if opts.warm_start else jnp.zeros_like(phi[g])
             res = group_solve(fes, ctxg, opts, rhs, x0)
@@ -317,7 +334,7 @@ def power_iteration(
                                              omega=opts.cmfd_omega,
                                              lo_outers=opts.cmfd_lo_outers,
                                              mode=opts.cmfd_mode)
-                return p * ratio[..., None], klo
+                return p * jnp.expand_dims(ratio, -4), klo
 
             cmfd_active = it >= opts.cmfd_from_iter
             phi, k_lo = lax.cond(cmfd_active, do_cmfd, lambda a: a, (phi, keff))
@@ -402,8 +419,8 @@ def power_iteration(
     J = compute_current(fes, ctx, phi, a_mode=opts.a_mode)
     return {
         "keff": keff,
-        "phi": phi,
-        "J": J,
+        "phi": phi_to_public(phi),
+        "J": J_to_public(J),
         "outer_iterations": it,
         "inner_iterations": inner_tot,
         # last group solve's Krylov diagnostics (reference SchurSolver::
@@ -443,6 +460,8 @@ def fixed_source_solve(
     the P_0 mode.  With ``with_fission=False`` this is a pure source problem (still
     iterated, to converge upscatter through the Gauss-Seidel group sweep).
     """
+    phi0 = phi_to_internal(phi0)
+
     def outer_body(carry):
         phi, it, _, inner_tot = carry
         phi_old = phi
@@ -453,7 +472,7 @@ def fixed_source_solve(
             ctxg = ctx_group(ctx, g)
             rhs = _external_source(ctx, g)
             if with_fission:
-                rhs = rhs + ctx["chi"][g][..., None] * total_fiss / keff
+                rhs = rhs + ctx["chi"][g] * total_fiss / keff
             rhs = rhs + _scatter_into(ctx, g, phi)
             x0 = phi[g] if opts.warm_start else jnp.zeros_like(phi[g])
             res = group_solve(fes, ctxg, opts, rhs, x0)
@@ -475,8 +494,8 @@ def fixed_source_solve(
     )
     J = compute_current(fes, ctx, phi, a_mode=opts.a_mode)
     return {
-        "phi": phi,
-        "J": J,
+        "phi": phi_to_public(phi),
+        "J": J_to_public(J),
         "outer_iterations": it,
         "inner_iterations": inner_tot,
         "diff_flux": diff,

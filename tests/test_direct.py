@@ -72,7 +72,7 @@ def test_dense_schur_matches_matvec():
     assert float(jnp.max(jnp.abs(S - S.T))) < 1e-10
     rng = np.random.default_rng(0)
     v = rng.standard_normal(s._fes.n_phi)
-    shape = (*s._mesh.shape, s._fes.P)
+    shape = (s._fes.P, *s._mesh.shape)  # internal mode-first layout
     ref = schur_matvec(s._fes, ctxg, jnp.asarray(v.reshape(shape), S.dtype),
                        a_mode="exact").reshape(-1)
     got = S @ jnp.asarray(v, S.dtype)

@@ -16,12 +16,37 @@ from neutfem_tpu import config
 from neutfem_tpu.bc import BCKind, BCSpec
 from neutfem_tpu.fespace import make_fespace
 from neutfem_tpu.mesh import CartesianMesh, boundary_attribute
-from neutfem_tpu.ops.apply import apply_B_dir, apply_BT_dir, schur_matvec, solve_A_dir
+from neutfem_tpu.ops.apply import (
+    apply_B_dir,
+    apply_BT_dir,
+    phi_to_internal,
+    phi_to_public,
+    schur_matvec,
+    solve_A_dir,
+)
 from neutfem_tpu.ops.context import build_context
 
 from oracle import DenseOracle
 
 DT = config.real_dtype
+
+
+def _face_to_internal(F):
+    """Public (..., faces, T) -> internal (..., T, faces)."""
+    return jnp.moveaxis(jnp.asarray(F, dtype=DT), -1, -4)
+
+
+def _bub_to_internal(W):
+    """Public (..., sp, nbub, T) -> internal (..., nbub, T, sp)."""
+    return jnp.moveaxis(jnp.asarray(W, dtype=DT), (-2, -1), (-5, -4))
+
+
+def _face_to_public(F):
+    return np.moveaxis(np.asarray(F), -4, -1)
+
+
+def _bub_to_public(W):
+    return np.moveaxis(np.asarray(W), (-5, -4), (-2, -1))
 
 
 def make_problem(dim, k, m, bc_kind, seed=0, a_mode="exact"):
@@ -94,8 +119,8 @@ def test_solve_A_matches_dense(dim, k, m, bc):
     for di in fes.dirs:
         key = f"d{di.d}"
         rF, rW = r_state[key]
-        rF = jnp.asarray(rF, dtype=DT)[None]
-        rWj = None if rW is None else jnp.asarray(rW, dtype=DT)[None]
+        rF = _face_to_internal(rF)[None]
+        rWj = None if rW is None else _bub_to_internal(rW)[None]
         F, W = solve_A_dir(
             fes,
             di,
@@ -107,7 +132,7 @@ def test_solve_A_matches_dense(dim, k, m, bc):
             rWj,
             "exact",
         )
-        sol[key] = (np.asarray(F[0]), None if W is None else np.asarray(W[0]))
+        sol[key] = (_face_to_public(F[0]), None if W is None else _bub_to_public(W[0]))
 
     x_flat = oracle.J_to_flat(sol)
     expect = np.linalg.solve(oracle.A[g], r_flat)
@@ -120,7 +145,8 @@ def test_schur_matvec_matches_dense(dim, k, m, bc):
     rng = np.random.default_rng(3)
 
     v = rng.normal(size=(ng, *mesh.shape, fes.P))
-    out = np.asarray(schur_matvec(fes, ctx, jnp.asarray(v, dtype=DT), a_mode="exact"))
+    vi = phi_to_internal(jnp.asarray(v, dtype=DT))
+    out = np.asarray(phi_to_public(schur_matvec(fes, ctx, vi, a_mode="exact")))
 
     for g in range(ng):
         S = oracle.schur(g)
@@ -134,7 +160,7 @@ def test_bt_b_adjoint_consistency():
     """B and B^T stencils must be exact transposes of each other."""
     mesh, fes, ng, ctx, oracle = make_problem(3, 1, 1, BCKind.DIRICHLET)
     rng = np.random.default_rng(11)
-    phi = jnp.asarray(rng.normal(size=(*mesh.shape, fes.P)), dtype=DT)
+    phi = phi_to_internal(jnp.asarray(rng.normal(size=(*mesh.shape, fes.P)), dtype=DT))
 
     total = 0.0
     total_T = 0.0
@@ -189,5 +215,6 @@ def test_lumped_rt0_is_mesh_centered_fd():
             S[e, e + 1] = -W[e + 1]
 
     v = rng.normal(size=(1, 1, 1, n, 1))
-    out = np.asarray(schur_matvec(fes, ctx, jnp.asarray(v, dtype=DT), a_mode="lumped"))
+    vi = phi_to_internal(jnp.asarray(v, dtype=DT))
+    out = np.asarray(phi_to_public(schur_matvec(fes, ctx, vi, a_mode="lumped")))
     np.testing.assert_allclose(out[0, 0, 0, :, 0], S @ v[0, 0, 0, :, 0], rtol=1e-10)

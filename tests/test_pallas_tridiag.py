@@ -40,6 +40,7 @@ def _problem(shape, axis, seed=3):
         ((40, 33, 128), 1, "rows"),         # ragged batch vs TZ
         ((7, 90, 13), 2, "transpose"),      # M = 1: minor-axis solve
         ((3, 101, 257), 2, "transpose"),    # ragged B vs TB
+        ((2, 700, 700), 1, "y4"),           # rows too wide for VMEM: 4D fallback
     ],
 )
 def test_thomas_matches_scan(shape, axis, kernel):

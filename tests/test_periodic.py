@@ -159,16 +159,17 @@ def test_cyclic_solve_matches_dense():
     r = rng.normal(size=nx)
     x_dense = np.linalg.solve(A, r)
 
-    rF = jnp.asarray(np.concatenate([r, r[:1]]), jnp.float64)[None, None, :, None]
+    # internal layout (T, nz, ny, faces) for the 1D mesh
+    rF = jnp.asarray(np.concatenate([r, r[:1]]), jnp.float64)[None, None, None, :]
     # undo the fold double-count: the tied representation expects the rhs split
     # over faces 0 and n; passing all of r[0] at face 0 and 0 at face n is valid.
-    rF = rF.at[..., -1, :].set(0.0)
+    rF = rF.at[..., -1].set(0.0)
     ctxg = {k: (v[g] if k.startswith(("C", "alpha_", "tri_", "precond", "cyc_")) else v)
             for k, v in ctx.items()}
     F, _ = solve_A_dir(fes, di, ctxg["tri_dinv_d0"], ctxg.get("tri_l_d0"),
                        ctxg["mask_d0"], ctxg["alpha_d0"], rF, None, "exact",
                        cyc=cyc_args(ctxg, "d0"))
-    got = np.asarray(F)[0, 0, :, 0]
+    got = np.asarray(F)[0, 0, 0, :]
     np.testing.assert_allclose(got[:nx], x_dense, rtol=1e-10, atol=1e-12)
     assert got[nx] == pytest.approx(got[0])  # tied face
 
