@@ -76,6 +76,16 @@ class SolveOptions:
     a_mode: str = "exact"         # A-inverse mode: "exact" | "diag" | "lumped"
     warm_start: bool = True
     inner_solver: str = "cg"      # "cg" | "bicgstab"
+    inner_precond: str = "auto"   # Schur CG preconditioner: "line" (tridiagonal
+                                  # part of the diagonal-A Schur along the highest
+                                  # active direction, one batched Thomas apply per
+                                  # iteration; P=1 single-device only — falls back
+                                  # silently) | "jacobi" (diag-S equilibration
+                                  # only) | "auto" (line above 2M cells, where the
+                                  # measured -19% iteration count beats the +~20%
+                                  # per-iteration cost: 97.4 -> 89.5 ms/outer at
+                                  # 3.5M, 62 -> 58 at 2.6M, but 12.8 -> 14.1 at
+                                  # 988k on v5e IAEA-3D)
     use_cmfd: bool = False        # CMFD nonlinear acceleration (excludes Chebyshev)
     cmfd_omega: float = 1.0       # CMFD correction relaxation (SetCMFDRelaxation)
     cmfd_from_iter: int = 2       # first outer iteration with CMFD (NeutFEM.cpp:1750)
@@ -161,7 +171,29 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
     sdi = jnp.sqrt(ctxg["precond_inv"])  # D^-1/2
     matvec = lambda y: sdi * schur_matvec(fes, ctxg, y * sdi, a_mode=opts.a_mode)
     solver = pcg if opts.inner_solver == "cg" else bicgstab
-    res = solver(matvec, rhs * sdi, x0 / sdi, tol=opts.inner_tol, maxiter=opts.max_inner)
+    precond = None
+    pc_mode = opts.inner_precond
+    if pc_mode == "auto":
+        pc_mode = "line" if fes.mesh.n_elements >= 2_000_000 else "jacobi"
+    if pc_mode == "line" and "precond_line_dinv" in ctxg:
+        from .ops.tridiag import tridiag_solve
+        from .shardctx import current_sharding
+
+        if current_sharding() is None:
+            # Line-tridiagonal part of the equilibrated Schur along the highest
+            # active direction (unit diagonal; factors built once in
+            # build_context).  One batched Thomas solve per CG iteration — cuts
+            # the ~h^-1 iteration growth on fine meshes.  Sharded runs keep
+            # plain Jacobi (a per-shard incomplete line solve would need the
+            # shard_map plumbing; same fixed point either way).
+            from .fespace import GRID_AXIS
+
+            pc_ax = GRID_AXIS[max(di.d for di in fes.dirs)] - 3
+            pld = jnp.expand_dims(ctxg["precond_line_dinv"], -4)
+            pll = jnp.expand_dims(ctxg["precond_line_l"], -4)
+            precond = lambda r: tridiag_solve(r, pld, pll, axis=pc_ax % r.ndim)
+    res = solver(matvec, rhs * sdi, x0 / sdi, precond=precond,
+                 tol=opts.inner_tol, maxiter=opts.max_inner)
     return res._replace(x=res.x * sdi)
 
 
