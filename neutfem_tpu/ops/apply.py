@@ -267,10 +267,40 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str):
     exact, batched A-solve instead of a global LU backsolve.
     `v` (internal layout) and the ctx arrays must agree in leading batch dims
     (all groups or one group).
+
+    On the RT0-P0 exact path each direction goes through ONE fused Pallas kernel
+    (B^T + Thomas + B in VMEM, ops/pallas_fused.py) when a kernel fits; the
+    composable unfused ops below are the fallback (CPU, f64, sharding, periodic,
+    higher order).
     """
+    import os
+
     out = ctx["C"] * v
+    use_fused = (
+        a_mode == "exact"
+        and fes.et.k == 0
+        and fes.m == 0
+        and os.environ.get("NEUTFEM_PALLAS", "1") != "0"
+    )
+    if use_fused:
+        from ..shardctx import current_sharding
+        from .pallas_tridiag import pallas_available
+
+        use_fused = current_sharding() is None and pallas_available()
     for di in fes.dirs:
         key = f"d{di.d}"
+        if use_fused and f"cyc_wt_{key}" not in ctx and f"scale_fused_{key}" in ctx:
+            from .pallas_fused import fused_schur_dir
+
+            dm = jnp.expand_dims(ctx[f"tri_dinvm_{key}"], -4)
+            lf = jnp.expand_dims(ctx[f"tri_l_{key}"], -4)
+            res = fused_schur_dir(
+                out, v, ctx[f"scale_fused_{key}"], dm, lf, di.axis - 3,
+                float(di.BX[0, 0, 0]), float(di.BX[1, 0, 0]),
+            )
+            if res is not None:
+                out = res
+                continue
         rF, rW = apply_BT_dir(fes, di, v)
         F, W = solve_A_dir(
             fes,

@@ -288,6 +288,11 @@ def build_context(
         if l is not None:
             ctx_np[f"tri_l_{key}"] = l
         ctx_np[f"mask_{key}"] = mask
+        if et.k == 0 and fes.m == 0 and l is not None:
+            # RT0 fused-kernel operands (ops/pallas_fused.py): the pre-masked
+            # scale mask/m_t (group-independent) and dinv*mask (group-sliced)
+            ctx_np[f"scale_fused_{key}"] = mask / di.m_t[0]
+            ctx_np[f"tri_dinvm_{key}"] = dinv * mask[None]
 
         if np.any(jpin != 0.0):
             # Inhomogeneous essential lift J = J' + J_q (nonzero NEUMANN):

@@ -1,0 +1,268 @@
+"""Fused per-direction Schur kernels: B_d A_d^{-1} B_d^T v in ONE Pallas pass.
+
+The unfused RT0-P0 hot path per direction costs ~9 HBM array passes per CG
+iteration: apply_BT (read v, write rF), mask/scale fusion (read rF, write rFs),
+Thomas kernel (read rFs/dinv/l, write F), apply_B (read F, accumulate out).  All
+of it is a 1D chain along the solve axis, so it fits in VMEM per block: these
+kernels read (v, acc, scale, dinv·mask, l), run the face-rhs construction, the
+Thomas recurrence, and the divergence accumulation inside the block, and write
+``acc + B_d A_d^{-1} B_d^T v`` — 6 array passes, no intermediate face arrays in
+HBM.  The accumulator is aliased input->output.
+
+Scope: the RT0 fast path only (P = T = 1, no bubbles, no PERIODIC direction,
+single device).  Everything else uses the composable unfused ops in apply.py.
+
+Per-direction recurrence (f = face index 0..n, e = cell index 0..n-1; BX0/BX1 are
+the two scalar divergence-pairing entries, reference FEM.cpp:822-831):
+
+    rF_f  = BX1 v_{f-1} + BX0 v_f                (v out of range = 0)
+    z_0   = rF_0 s_0;   z_f = rF_f s_f - l_{f-1} z_{f-1}      [s = mask/m_t]
+    F_n   = z_n dm_n;   F_f = z_f dm_f - l_f F_{f+1}          [dm = dinv*mask]
+    out_e = acc_e + BX0 F_e + BX1 F_{e+1}
+
+The backward sweep emits out_e the moment F_e is known, so one (n+1)-row VMEM
+scratch serves both z and F.  Same kernel math in three block layouts chosen by
+the solve-axis position (see pallas_tridiag.py for the bitcast-safety rules):
+z-axis: true-4D blocks; y-axis: leading-merge 3D rows; x-axis: leading-merge 2D
+with in-kernel transposes.
+
+Reference counterpart: one full SchurProduct y = C x + B(A^{-1}(B^T x)) per CG
+iteration (/root/reference/src/solvers.cpp:535-547), which materializes every
+intermediate.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_tridiag import _VMEM_BUDGET, _pad_up, _round_down
+
+__all__ = ["fused_schur_dir"]
+
+
+def _body_z(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, *, bx0, bx1):
+    """Blocks: acc/v/out (1, n, ts, tc); s/dm (1, n+1, ts, tc); l (1, n, ts, tc);
+    scratch zf (n+1, ts, tc).  Recurrence over axis 1."""
+    n = v_ref.shape[1]  # cells
+
+    zf[0] = (bx0 * v_ref[0, 0]) * s_ref[0, 0]
+
+    def fwd(f, z_prev):
+        rf = bx1 * v_ref[0, f - 1] + jnp.where(f < n, bx0, 0.0) * v_ref[0, jnp.minimum(f, n - 1)]
+        z = rf * s_ref[0, f] - l_ref[0, f - 1] * z_prev
+        zf[f] = z
+        return z
+
+    z_last = jax.lax.fori_loop(1, n + 1, fwd, zf[0])
+    f_next = z_last * dm_ref[0, n]
+    zf[n] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = zf[e] * dm_ref[0, e] - l_ref[0, e] * f_next
+        out_ref[0, e] = acc_ref[0, e] + bx0 * f_e + bx1 * f_next
+        zf[e] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
+
+
+def _body_y(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, *, bx0, bx1):
+    """Blocks: acc/v/out (tz, n, M); s/dm (tz, n+1, M); l (tz, n, M);
+    scratch zf (n+1, tz, M).  Recurrence over axis 1."""
+    n = v_ref.shape[1]
+
+    zf[0] = (bx0 * v_ref[:, 0, :]) * s_ref[:, 0, :]
+
+    def fwd(f, z_prev):
+        rf = bx1 * v_ref[:, f - 1, :] + jnp.where(f < n, bx0, 0.0) * v_ref[:, jnp.minimum(f, n - 1), :]
+        z = rf * s_ref[:, f, :] - l_ref[:, f - 1, :] * z_prev
+        zf[f] = z
+        return z
+
+    z_last = jax.lax.fori_loop(1, n + 1, fwd, zf[0])
+    f_next = z_last * dm_ref[:, n, :]
+    zf[n] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = zf[e] * dm_ref[:, e, :] - l_ref[:, e, :] * f_next
+        out_ref[:, e, :] = acc_ref[:, e, :] + bx0 * f_e + bx1 * f_next
+        zf[e] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
+
+
+def _body_x(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, vt, zf, ot, lt, *, bx0, bx1):
+    """Blocks: acc/v/out (tb, n); s/dm (tb, n+1); l (tb, n).  Scratches (all
+    transposed so the recurrence runs down sublanes): vt (n, tb) [v, then reused
+    for the out contribution], zf (n+1, tb) [s, then dm], ot (n+1, tb) [z, then
+    F], lt (n, tb) [l]."""
+    n = v_ref.shape[1]
+    vt[:] = v_ref[:].T
+    zf[:] = s_ref[:].T
+    lt[:] = l_ref[:].T
+
+    z0 = (bx0 * vt[0, :]) * zf[0, :]
+    ot[0, :] = z0
+
+    def fwd(f, z_prev):
+        rf = bx1 * vt[f - 1, :] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1), :]
+        z = rf * zf[f, :] - lt[f - 1, :] * z_prev
+        ot[f, :] = z
+        return z
+
+    jax.lax.fori_loop(1, n + 1, fwd, z0)
+    # backward: zf now freed (s no longer needed) — reuse for dm transposed
+    zf[:] = dm_ref[:].T
+    f_next = ot[n, :] * zf[n, :]
+    ot[n, :] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = ot[e, :] * zf[e, :] - lt[e, :] * f_next
+        vt[e, :] = bx0 * f_e + bx1 * f_next
+        ot[e, :] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
+    out_ref[:] = acc_ref[:] + vt[:n, :].T
+
+
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "ts", "tc", "interpret"))
+def _fused_z(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
+             interpret: bool = False):
+    B, n, S, C = v.shape
+    spec = lambda rows: pl.BlockSpec((1, rows, ts, tc), lambda b, si, c: (b, 0, si, c),
+                                     memory_space=pltpu.VMEM)
+    kern = functools.partial(_body_z, bx0=bx0, bx1=bx1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, n, S, C), v.dtype),
+        grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
+        in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
+        out_specs=spec(n),
+        scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), v.dtype)],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, v, s, dm, l)
+
+
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "tz", "interpret"))
+def _fused_y(acc, v, s, dm, l, bx0: float, bx1: float, tz: int,
+             interpret: bool = False):
+    B, n, M = v.shape
+    spec = lambda rows: pl.BlockSpec((tz, rows, M), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    kern = functools.partial(_body_y, bx0=bx0, bx1=bx1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, n, M), v.dtype),
+        grid=(pl.cdiv(B, tz),),
+        in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
+        out_specs=spec(n),
+        scratch_shapes=[pltpu.VMEM((n + 1, tz, M), v.dtype)],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, v, s, dm, l)
+
+
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "tb", "interpret"))
+def _fused_x(acc, v, s, dm, l, bx0: float, bx1: float, tb: int,
+             interpret: bool = False):
+    B, n = v.shape
+    spec = lambda cols: pl.BlockSpec((tb, cols), lambda b: (b, 0),
+                                     memory_space=pltpu.VMEM)
+    kern = functools.partial(_body_x, bx0=bx0, bx1=bx1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, n), v.dtype),
+        grid=(pl.cdiv(B, tb),),
+        in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
+        out_specs=spec(n),
+        scratch_shapes=[
+            pltpu.VMEM((n, tb), v.dtype),
+            pltpu.VMEM((n + 1, tb), v.dtype),
+            pltpu.VMEM((n + 1, tb), v.dtype),
+            pltpu.VMEM((n, tb), v.dtype),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, v, s, dm, l)
+
+
+def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
+                    interpret: bool = False):
+    """acc + B_d A_d^{-1} B_d^T v for an RT0 direction, or None if no kernel fits.
+
+    acc, v: cell grids (..., spatial); scale = mask/m_t, dinvm = dinv*mask, l:
+    face-shaped along `axis` (n+1 / n+1 / n entries).  All spatial dims must be
+    the last three; `axis` negative in [-3, -1].
+    """
+    if not interpret and v.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    if v.ndim < 3:
+        return None
+    axis = axis % v.ndim
+    rel = axis - (v.ndim - 3)
+    if rel < 0:
+        return None
+    n = v.shape[axis]
+    if n < 4:
+        return None
+    shape = v.shape
+    if rel != 2 and shape[-1] < 64:
+        return None
+    itemsize = v.dtype.itemsize
+
+    fshape = shape[:axis] + (n + 1,) + shape[axis + 1:]
+    lshape = shape[:axis] + (n,) + shape[axis + 1:]
+    scale_b = jnp.broadcast_to(scale, fshape)
+    dinvm_b = jnp.broadcast_to(dinvm, fshape)
+    l_b = jnp.broadcast_to(l, lshape)
+
+    if rel == 2:
+        B = v.size // n
+        if B < 512:
+            return None
+        npad = _pad_up(n + 1, 128)
+        tb = _round_down(min(1024, _VMEM_BUDGET // (16 * npad * itemsize)), 256)
+        out = _fused_x(acc.reshape(B, n), v.reshape(B, n),
+                       scale_b.reshape(B, n + 1), dinvm_b.reshape(B, n + 1),
+                       l_b.reshape(B, n), bx0, bx1, tb=tb, interpret=interpret)
+        return out.reshape(shape)
+
+    if rel == 1:
+        M = shape[-1]
+        B = v.size // (n * M)
+        if B * M < 512:
+            return None
+        fits = _VMEM_BUDGET // (14 * (n + 1) * _pad_up(M, 128) * itemsize)
+        if fits < 2:
+            return None  # very wide rows: unfused path handles it
+        tz = _round_down(min(8, fits), 2)
+        out = _fused_y(acc.reshape(B, n, M), v.reshape(B, n, M),
+                       scale_b.reshape(B, n + 1, M), dinvm_b.reshape(B, n + 1, M),
+                       l_b.reshape(B, n, M), bx0, bx1, tz=tz, interpret=interpret)
+        return out.reshape(shape)
+
+    s0, s1, s2 = shape[-3], shape[-2], shape[-1]
+    if s1 * s2 < 512:
+        return None
+    B = v.size // (s0 * s1 * s2)
+    tc = _round_down(min(256, _VMEM_BUDGET // (14 * 8 * (n + 1) * itemsize)), 128)
+    tc = min(tc, _pad_up(s2, 128))
+    ts = _round_down(min(8, _VMEM_BUDGET // (14 * (n + 1) * tc * itemsize)), 8)
+    ts = min(ts, _pad_up(s1, 8))
+    out = _fused_z(acc.reshape(B, s0, s1, s2), v.reshape(B, s0, s1, s2),
+                   scale_b.reshape(B, s0 + 1, s1, s2),
+                   dinvm_b.reshape(B, s0 + 1, s1, s2),
+                   l_b.reshape(B, s0, s1, s2), bx0, bx1, ts=ts, tc=tc,
+                   interpret=interpret)
+    return out.reshape(shape)

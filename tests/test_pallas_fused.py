@@ -1,0 +1,89 @@
+"""Fused per-direction Schur kernels (ops/pallas_fused.py) vs the unfused ops,
+interpret mode on CPU.  The fused kernel computes acc + B_d A_d^{-1} B_d^T v in
+one pass; the unfused reference path is apply_BT -> solve_A -> apply_B."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from neutfem_tpu import config
+from neutfem_tpu.bc import BCKind, BCSpec
+from neutfem_tpu.fespace import make_fespace
+from neutfem_tpu.mesh import CartesianMesh, boundary_attribute
+from neutfem_tpu.ops.apply import phi_to_internal, schur_matvec
+from neutfem_tpu.ops.context import build_context
+from neutfem_tpu.ops.pallas_fused import fused_schur_dir
+
+DT = jnp.float32  # the fused kernels serve the f32 TPU path
+
+
+def _problem(shape_zyx, bc_kind=BCKind.DIRICHLET, seed=0):
+    nz, ny, nx = shape_zyx
+    rng = np.random.default_rng(seed)
+    mesh = CartesianMesh.from_breaks(
+        np.concatenate([[0.0], np.cumsum(rng.uniform(0.8, 1.4, nx))]),
+        np.concatenate([[0.0], np.cumsum(rng.uniform(0.8, 1.4, ny))]),
+        np.concatenate([[0.0], np.cumsum(rng.uniform(0.8, 1.4, nz))]),
+    )
+    fes = make_fespace(mesh, 0, 0)
+    ng = 2
+    xs = {
+        "D": rng.uniform(0.3, 2.0, (ng, *mesh.shape)),
+        "SigR": rng.uniform(0.01, 0.2, (ng, *mesh.shape)),
+        "NSF": rng.uniform(0.0, 0.2, (ng, *mesh.shape)),
+        "Chi": np.zeros((ng, *mesh.shape)),
+        "SigS": np.zeros((ng, ng, *mesh.shape)),
+        "SRC": np.zeros((ng, *mesh.shape)),
+    }
+    xs["Chi"][0] = 1.0
+    bcs = BCSpec()
+    for ax in range(3):
+        for upper in (False, True):
+            bcs.set(boundary_attribute(3, ax, upper), bc_kind)
+    if bc_kind == BCKind.MIRROR:
+        bcs.set(boundary_attribute(3, 0, True), BCKind.DIRICHLET)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
+    return mesh, fes, ng, ctx
+
+
+@pytest.mark.parametrize("bc", [BCKind.DIRICHLET, BCKind.MIRROR])
+def test_fused_matches_unfused_all_directions(bc):
+    # sizes chosen so all three kernels pass their engagement gates:
+    # x needs nz*ny >= 512; y needs nx >= 64; z needs ny*nx >= 512
+    mesh, fes, ng, ctx = _problem((16, 32, 64), bc_kind=bc)
+    rng = np.random.default_rng(3)
+    v = phi_to_internal(
+        jnp.asarray(rng.normal(size=(ng, *mesh.shape, fes.P)), DT)
+    )
+
+    # unfused reference (CPU: pallas unavailable, so schur_matvec takes it)
+    want = schur_matvec(fes, ctx, v, a_mode="exact")
+
+    # fused, direction by direction in interpret mode
+    out = ctx["C"] * v
+    for di in fes.dirs:
+        key = f"d{di.d}"
+        dm = jnp.expand_dims(ctx[f"tri_dinvm_{key}"], -4)
+        lf = jnp.expand_dims(ctx[f"tri_l_{key}"], -4)
+        res = fused_schur_dir(
+            out, v, ctx[f"scale_fused_{key}"], dm, lf, di.axis - 3,
+            float(di.BX[0, 0, 0]), float(di.BX[1, 0, 0]), interpret=True,
+        )
+        assert res is not None, f"fused kernel declined direction {di.d}"
+        out = res
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_fused_declines_small_shapes():
+    mesh, fes, ng, ctx = _problem((3, 4, 8))
+    v = jnp.zeros((ng, 1, *mesh.shape), DT)
+    di = fes.dirs[0]
+    key = f"d{di.d}"
+    dm = jnp.expand_dims(ctx[f"tri_dinvm_{key}"], -4)
+    lf = jnp.expand_dims(ctx[f"tri_l_{key}"], -4)
+    res = fused_schur_dir(v, v, ctx[f"scale_fused_{key}"], dm, lf, di.axis - 3,
+                          1.0, -1.0, interpret=True)
+    assert res is None
