@@ -73,26 +73,26 @@ def _body_z(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, *, bx0, bx1):
 
 
 def _body_y(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, *, bx0, bx1):
-    """Blocks: acc/v/out (tz, n, M); s/dm (tz, n+1, M); l (tz, n, M);
-    scratch zf (n+1, tz, M).  Recurrence over axis 1."""
-    n = v_ref.shape[1]
+    """Blocks: acc/v/out (1, ts, n, tc); s/dm (1, ts, n+1, tc); l (1, ts, n, tc);
+    scratch zf (n+1, ts, tc).  Recurrence over axis 2 on (ts, tc) tiles."""
+    n = v_ref.shape[2]
 
-    zf[0] = (bx0 * v_ref[:, 0, :]) * s_ref[:, 0, :]
+    zf[0] = (bx0 * v_ref[0, :, 0, :]) * s_ref[0, :, 0, :]
 
     def fwd(f, z_prev):
-        rf = bx1 * v_ref[:, f - 1, :] + jnp.where(f < n, bx0, 0.0) * v_ref[:, jnp.minimum(f, n - 1), :]
-        z = rf * s_ref[:, f, :] - l_ref[:, f - 1, :] * z_prev
+        rf = bx1 * v_ref[0, :, f - 1, :] + jnp.where(f < n, bx0, 0.0) * v_ref[0, :, jnp.minimum(f, n - 1), :]
+        z = rf * s_ref[0, :, f, :] - l_ref[0, :, f - 1, :] * z_prev
         zf[f] = z
         return z
 
     z_last = jax.lax.fori_loop(1, n + 1, fwd, zf[0])
-    f_next = z_last * dm_ref[:, n, :]
+    f_next = z_last * dm_ref[0, :, n, :]
     zf[n] = f_next
 
     def bwd(i, f_next):
         e = n - 1 - i
-        f_e = zf[e] * dm_ref[:, e, :] - l_ref[:, e, :] * f_next
-        out_ref[:, e, :] = acc_ref[:, e, :] + bx0 * f_e + bx1 * f_next
+        f_e = zf[e] * dm_ref[0, :, e, :] - l_ref[0, :, e, :] * f_next
+        out_ref[0, :, e, :] = acc_ref[0, :, e, :] + bx0 * f_e + bx1 * f_next
         zf[e] = f_e
         return f_e
 
@@ -154,20 +154,20 @@ def _fused_z(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
     )(acc, v, s, dm, l)
 
 
-@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "tz", "interpret"))
-def _fused_y(acc, v, s, dm, l, bx0: float, bx1: float, tz: int,
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "ts", "tc", "interpret"))
+def _fused_y(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
              interpret: bool = False):
-    B, n, M = v.shape
-    spec = lambda rows: pl.BlockSpec((tz, rows, M), lambda b: (b, 0, 0),
+    B, S, n, C = v.shape
+    spec = lambda rows: pl.BlockSpec((1, ts, rows, tc), lambda b, si, c: (b, si, 0, c),
                                      memory_space=pltpu.VMEM)
     kern = functools.partial(_body_y, bx0=bx0, bx1=bx1)
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, n, M), v.dtype),
-        grid=(pl.cdiv(B, tz),),
+        out_shape=jax.ShapeDtypeStruct((B, S, n, C), v.dtype),
+        grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
         in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
         out_specs=spec(n),
-        scratch_shapes=[pltpu.VMEM((n + 1, tz, M), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), v.dtype)],
         input_output_aliases={0: 0},
         interpret=interpret,
     )(acc, v, s, dm, l)
@@ -239,17 +239,21 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
         return out.reshape(shape)
 
     if rel == 1:
-        M = shape[-1]
-        B = v.size // (n * M)
-        if B * M < 512:
+        s0, s1, s2 = shape[-3], shape[-2], shape[-1]
+        if s0 < 4 or s0 * s2 < 512:
+            # thin batch over the sublane axis (e.g. 2D meshes): the (ts, tc)
+            # tiles would run mostly masked — unfused path instead
             return None
-        fits = _VMEM_BUDGET // (14 * (n + 1) * _pad_up(M, 128) * itemsize)
-        if fits < 2:
-            return None  # very wide rows: unfused path handles it
-        tz = _round_down(min(8, fits), 2)
-        out = _fused_y(acc.reshape(B, n, M), v.reshape(B, n, M),
-                       scale_b.reshape(B, n + 1, M), dinvm_b.reshape(B, n + 1, M),
-                       l_b.reshape(B, n, M), bx0, bx1, tz=tz, interpret=interpret)
+        B = v.size // (s0 * s1 * s2)
+        tc = _round_down(min(256, _VMEM_BUDGET // (14 * 8 * (n + 1) * itemsize)), 128)
+        tc = min(tc, _pad_up(s2, 128))
+        ts = _round_down(min(8, _VMEM_BUDGET // (14 * (n + 1) * tc * itemsize)), 8)
+        ts = min(ts, _pad_up(s0, 8))
+        out = _fused_y(acc.reshape(B, s0, s1, s2), v.reshape(B, s0, s1, s2),
+                       scale_b.reshape(B, s0, s1 + 1, s2),
+                       dinvm_b.reshape(B, s0, s1 + 1, s2),
+                       l_b.reshape(B, s0, s1, s2), bx0, bx1, ts=ts, tc=tc,
+                       interpret=interpret)
         return out.reshape(shape)
 
     s0, s1, s2 = shape[-3], shape[-2], shape[-1]
