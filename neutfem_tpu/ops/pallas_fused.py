@@ -146,6 +146,7 @@ def _fused_z(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
         kern,
         out_shape=jax.ShapeDtypeStruct((B, n, S, C), v.dtype),
         grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",) * 3),
         in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
         out_specs=spec(n),
         scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), v.dtype)],
@@ -165,6 +166,7 @@ def _fused_y(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
         kern,
         out_shape=jax.ShapeDtypeStruct((B, S, n, C), v.dtype),
         grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",) * 3),
         in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
         out_specs=spec(n),
         scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), v.dtype)],
@@ -184,6 +186,7 @@ def _fused_x(acc, v, s, dm, l, bx0: float, bx1: float, tb: int,
         kern,
         out_shape=jax.ShapeDtypeStruct((B, n), v.dtype),
         grid=(pl.cdiv(B, tb),),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
         out_specs=spec(n),
         scratch_shapes=[

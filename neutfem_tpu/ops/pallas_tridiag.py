@@ -181,6 +181,7 @@ def _solve_z(r4, d4, l4, ts: int, tc: int, interpret: bool = False):
         _z_kernel,
         out_shape=jax.ShapeDtypeStruct((B, n, S, C), r4.dtype),
         grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",) * 3),
         in_specs=[spec(n), spec(n), spec(n - 1)],
         out_specs=spec(n),
         interpret=interpret,
@@ -196,6 +197,7 @@ def _solve_y(r4, d4, l4, ts: int, tc: int, interpret: bool = False):
         _y_kernel,
         out_shape=jax.ShapeDtypeStruct((B, S, n, C), r4.dtype),
         grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",) * 3),
         in_specs=[spec(n), spec(n), spec(n - 1)],
         out_specs=spec(n),
         interpret=interpret,
@@ -211,6 +213,7 @@ def _solve_rows(r3, d3, l3, tz: int, interpret: bool = False):
         _rows_kernel,
         out_shape=jax.ShapeDtypeStruct((B, n, M), r3.dtype),
         grid=(pl.cdiv(B, tz),),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         in_specs=[spec(n), spec(n), spec(n - 1)],
         out_specs=spec(n),
         interpret=interpret,
@@ -226,6 +229,7 @@ def _solve_transpose(r2, d2, l2, tb: int, interpret: bool = False):
         _transpose_kernel,
         out_shape=jax.ShapeDtypeStruct((B, n), r2.dtype),
         grid=(pl.cdiv(B, tb),),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         in_specs=[spec(n), spec(n), spec(n - 1)],
         out_specs=spec(n),
         scratch_shapes=[
