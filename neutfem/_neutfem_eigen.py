@@ -318,6 +318,9 @@ class NeutFEM:
             use_cmfd=use_cmfd,
             cmfd_omega=self._cmfd_omega,
             diag_elementwise=diag_elementwise,
+            # Schur CG preconditioner ("auto" | "jacobi" | "line" | "line2");
+            # env knob for experiments — see power.SolveOptions.inner_precond
+            inner_precond=os.environ.get("NEUTFEM_PRECOND", "auto"),
             # reference per-iteration console line every 5 outers (NeutFEM.cpp:1791);
             # requires host-callback support (absent on the axon-tunneled TPU)
             log_every=5 if (self._verbosity >= VerbosityLevel.VERBOSE

@@ -103,9 +103,13 @@ def build_context(
     # direction (z in 3D, y in 2D, x in 1D) — its Thomas kernel path is
     # bitcast-safe at any mesh dims (the x path pays a re-tiling copy when
     # ny % 8 != 0, measured to erase the iteration win at the 988k bench mesh).
-    pc_d = max(di.d for di in fes.dirs)
-    line_offd = None  # stashed pc-line Schur off-diagonal
+    pc_dirs = sorted((di.d for di in fes.dirs), reverse=True)[:2]
+    pc_d = pc_dirs[0]
+    pc_d2 = pc_dirs[1] if len(pc_dirs) > 1 else None  # second line (opt-in "line2")
+    line_offd = None  # stashed pc-line Schur off-diagonals
     line_ax = None
+    line2_offd = None
+    line2_ax = None
 
     for di in fes.dirs:
         d, ax = di.d, di.axis  # ax in (nz, ny, nx) order
@@ -356,14 +360,16 @@ def build_context(
         coefR = ((et.D1[pd, 1] ** 2) * m_t_of_p).reshape(1, -1, 1, 1, 1)
         pre += left[:, None] * coefL + right[:, None] * coefR
 
-        if d == pc_d and fes.P == 1:
+        if d in pc_dirs and fes.P == 1:
             # pc-line off-diagonal of the (diagonal-A) Schur: S_{e,e+1} =
             # B(e,f) B(e+1,f) / A_ff at the shared interior face f = e+1 —
             # stashed for the line-tridiagonal CG preconditioner below.
             coefLR = float(et.D1[0, 0] * et.D1[0, 1] * di.m_t[0])
-            interior = inv_diag[_axslice(4, fax, slice(1, n_faces - 1))]
-            line_offd = coefLR * interior  # n-1 entries along fax
-            line_ax = fax
+            interior = coefLR * inv_diag[_axslice(4, fax, slice(1, n_faces - 1))]
+            if d == pc_d:
+                line_offd, line_ax = interior, fax
+            else:
+                line2_offd, line2_ax = interior, fax
 
     ctx_np["precond_inv"] = 1.0 / pre
     if line_offd is not None:
@@ -375,17 +381,26 @@ def build_context(
         # class as one direction of the A-solve; cuts the ~h^-1 CG iteration growth.
         # New TPU-native scope (the reference CG is unpreconditioned,
         # solvers.cpp:577-636).
-        pre1 = pre[:, 0]  # (ng, nz, ny, nx); P == 1
-        pre_lo = pre1[_axslice(4, line_ax, slice(None, -1))]
-        pre_hi = pre1[_axslice(4, line_ax, slice(1, None))]
-        offd_hat = line_offd / np.sqrt(pre_lo * pre_hi)
         from ..native import tridiag_ldlt_batch
 
-        dd = np.moveaxis(np.ones_like(pre1), line_ax, -1)
-        bb = np.moveaxis(offd_hat, line_ax, -1)
-        dinv_l, ll = tridiag_ldlt_batch(dd, bb)
-        ctx_np["precond_line_dinv"] = np.moveaxis(dinv_l, -1, line_ax)
-        ctx_np["precond_line_l"] = np.moveaxis(ll, -1, line_ax)
+        pre1 = pre[:, 0]  # (ng, nz, ny, nx); P == 1
+
+        def _line_factors(offd, ax):
+            pre_lo = pre1[_axslice(4, ax, slice(None, -1))]
+            pre_hi = pre1[_axslice(4, ax, slice(1, None))]
+            offd_hat = offd / np.sqrt(pre_lo * pre_hi)
+            dd = np.moveaxis(np.ones_like(pre1), ax, -1)
+            bb = np.moveaxis(offd_hat, ax, -1)
+            dinv_l, ll = tridiag_ldlt_batch(dd, bb)
+            return np.moveaxis(dinv_l, -1, ax), np.moveaxis(ll, -1, ax)
+
+        d1, l1 = _line_factors(line_offd, line_ax)
+        ctx_np["precond_line_dinv"] = d1
+        ctx_np["precond_line_l"] = l1
+        if line2_offd is not None:
+            d2, l2 = _line_factors(line2_offd, line2_ax)
+            ctx_np["precond_line2_dinv"] = d2
+            ctx_np["precond_line2_l"] = l2
     if np.any(src_bc != 0.0):
         ctx_np["src_bc"] = src_bc
     ctx_np["detJ"] = detJ

@@ -80,12 +80,14 @@ class SolveOptions:
                                   # part of the diagonal-A Schur along the highest
                                   # active direction, one batched Thomas apply per
                                   # iteration; P=1 single-device only — falls back
-                                  # silently) | "jacobi" (diag-S equilibration
-                                  # only) | "auto" (line above 2M cells, where the
-                                  # measured -19% iteration count beats the +~20%
-                                  # per-iteration cost: 97.4 -> 89.5 ms/outer at
-                                  # 3.5M, 62 -> 58 at 2.6M, but 12.8 -> 14.1 at
-                                  # 988k on v5e IAEA-3D)
+                                  # silently) | "line2" (adds the second direction
+                                  # additively: fewer iterations but the extra
+                                  # apply only pays off sometimes — measured
+                                  # 41.4 -> 40.4 ms/outer at 2.6M but
+                                  # 58.7 -> 63.4 at 3.5M; opt-in) | "jacobi"
+                                  # (diag-S equilibration only) | "auto" (line
+                                  # above 2M cells, jacobi below — the measured
+                                  # crossover on v5e IAEA-3D)
     use_cmfd: bool = False        # CMFD nonlinear acceleration (excludes Chebyshev)
     cmfd_omega: float = 1.0       # CMFD correction relaxation (SetCMFDRelaxation)
     cmfd_from_iter: int = 2       # first outer iteration with CMFD (NeutFEM.cpp:1750)
@@ -175,7 +177,7 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
     pc_mode = opts.inner_precond
     if pc_mode == "auto":
         pc_mode = "line" if fes.mesh.n_elements >= 2_000_000 else "jacobi"
-    if pc_mode == "line" and "precond_line_dinv" in ctxg:
+    if pc_mode in ("line", "line2") and "precond_line_dinv" in ctxg:
         from .ops.tridiag import tridiag_solve
         from .shardctx import current_sharding
 
@@ -183,15 +185,28 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
             # Line-tridiagonal part of the equilibrated Schur along the highest
             # active direction (unit diagonal; factors built once in
             # build_context).  One batched Thomas solve per CG iteration — cuts
-            # the ~h^-1 iteration growth on fine meshes.  Sharded runs keep
-            # plain Jacobi (a per-shard incomplete line solve would need the
-            # shard_map plumbing; same fixed point either way).
+            # the ~h^-1 iteration growth on fine meshes.  "line2" adds the
+            # second direction ADDITIVELY (M^-1 = M1^-1 + M2^-1, SPD as a sum of
+            # SPD solves).  Sharded runs keep plain Jacobi (a per-shard
+            # incomplete line solve would need the shard_map plumbing; same
+            # fixed point either way).
             from .fespace import GRID_AXIS
 
-            pc_ax = GRID_AXIS[max(di.d for di in fes.dirs)] - 3
+            pc_dirs = sorted((di.d for di in fes.dirs), reverse=True)
+            pc_ax = GRID_AXIS[pc_dirs[0]] - 3
             pld = jnp.expand_dims(ctxg["precond_line_dinv"], -4)
             pll = jnp.expand_dims(ctxg["precond_line_l"], -4)
-            precond = lambda r: tridiag_solve(r, pld, pll, axis=pc_ax % r.ndim)
+            if (pc_mode == "line2" and len(pc_dirs) > 1
+                    and "precond_line2_dinv" in ctxg):
+                pc_ax2 = GRID_AXIS[pc_dirs[1]] - 3
+                pld2 = jnp.expand_dims(ctxg["precond_line2_dinv"], -4)
+                pll2 = jnp.expand_dims(ctxg["precond_line2_l"], -4)
+                precond = lambda r: (
+                    tridiag_solve(r, pld, pll, axis=pc_ax % r.ndim)
+                    + tridiag_solve(r, pld2, pll2, axis=pc_ax2 % r.ndim)
+                )
+            else:
+                precond = lambda r: tridiag_solve(r, pld, pll, axis=pc_ax % r.ndim)
     res = solver(matvec, rhs * sdi, x0 / sdi, precond=precond,
                  tol=opts.inner_tol, maxiter=opts.max_inner)
     return res._replace(x=res.x * sdi)
