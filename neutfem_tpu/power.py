@@ -178,35 +178,52 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
     if pc_mode == "auto":
         pc_mode = "line" if fes.mesh.n_elements >= 2_000_000 else "jacobi"
     if pc_mode in ("line", "line2") and "precond_line_dinv" in ctxg:
+        from .fespace import GRID_AXIS
         from .ops.tridiag import tridiag_solve
         from .shardctx import current_sharding
 
-        if current_sharding() is None:
-            # Line-tridiagonal part of the equilibrated Schur along the highest
-            # active direction (unit diagonal; factors built once in
-            # build_context).  One batched Thomas solve per CG iteration — cuts
-            # the ~h^-1 iteration growth on fine meshes.  "line2" adds the
-            # second direction ADDITIVELY (M^-1 = M1^-1 + M2^-1, SPD as a sum of
-            # SPD solves).  Sharded runs keep plain Jacobi (a per-shard
-            # incomplete line solve would need the shard_map plumbing; same
-            # fixed point either way).
-            from .fespace import GRID_AXIS
+        # Line-tridiagonal part of the equilibrated Schur along the highest
+        # active direction (unit diagonal; factors built once in build_context).
+        # One batched Thomas solve per CG iteration — cuts the ~h^-1 iteration
+        # growth on fine meshes.  "line2" adds the second direction ADDITIVELY
+        # (M^-1 = M1^-1 + M2^-1, SPD as a sum of SPD solves).  Under spatial
+        # sharding the solve runs per shard via the tridiag shard_map plumbing
+        # when the line direction is orthogonal to every cut; a line ALONG a cut
+        # falls back to Jacobi (same fixed point, only the iteration count
+        # changes).
+        sh = current_sharding()
 
-            pc_dirs = sorted((di.d for di in fes.dirs), reverse=True)
-            pc_ax = GRID_AXIS[pc_dirs[0]] - 3
-            pld = jnp.expand_dims(ctxg["precond_line_dinv"], -4)
-            pll = jnp.expand_dims(ctxg["precond_line_l"], -4)
-            if (pc_mode == "line2" and len(pc_dirs) > 1
-                    and "precond_line2_dinv" in ctxg):
-                pc_ax2 = GRID_AXIS[pc_dirs[1]] - 3
-                pld2 = jnp.expand_dims(ctxg["precond_line2_dinv"], -4)
-                pll2 = jnp.expand_dims(ctxg["precond_line2_l"], -4)
-                precond = lambda r: (
-                    tridiag_solve(r, pld, pll, axis=pc_ax % r.ndim)
-                    + tridiag_solve(r, pld2, pll2, axis=pc_ax2 % r.ndim)
-                )
-            else:
-                precond = lambda r: tridiag_solve(r, pld, pll, axis=pc_ax % r.ndim)
+        def _line_apply(key_d, key_l, ga):
+            ax = ga - 3
+            pld = jnp.expand_dims(ctxg[key_d], -4)
+            pll = jnp.expand_dims(ctxg[key_l], -4)
+
+            def apply(r):
+                shard = None
+                if sh is not None:
+                    mesh_, amap = sh
+                    shard = (mesh_, {r.ndim - 3 + g: nm for g, nm in amap.items()})
+                return tridiag_solve(r, pld, pll, axis=ax % r.ndim, shard=shard)
+
+            return apply
+
+        pc_dirs = sorted((di.d for di in fes.dirs), reverse=True)
+
+        def _usable(d):
+            return sh is None or GRID_AXIS[d] not in sh[1]
+
+        applies = []
+        if _usable(pc_dirs[0]):
+            applies.append(_line_apply("precond_line_dinv", "precond_line_l",
+                                       GRID_AXIS[pc_dirs[0]]))
+        if (pc_mode == "line2" and len(pc_dirs) > 1
+                and "precond_line2_dinv" in ctxg and _usable(pc_dirs[1])):
+            applies.append(_line_apply("precond_line2_dinv", "precond_line2_l",
+                                       GRID_AXIS[pc_dirs[1]]))
+        if len(applies) == 1:
+            precond = applies[0]
+        elif applies:
+            precond = lambda r: applies[0](r) + applies[1](r)
     res = solver(matvec, rhs * sdi, x0 / sdi, precond=precond,
                  tol=opts.inner_tol, maxiter=opts.max_inner)
     return res._replace(x=res.x * sdi)
