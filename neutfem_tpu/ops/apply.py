@@ -260,6 +260,49 @@ def solve_A(fes: FESpace, ctx: Dict, rhs_by_dir, a_mode: str):
     return out
 
 
+def _fused_sharded(sh, acc, v, scale, dm, lf, axis, bx0, bx1, interpret=False):
+    """shard_map wrapper for the fused direction kernel under spatial sharding.
+    Returns None unless the direction is orthogonal to every cut, all cut axes
+    shard evenly, and the PER-SHARD local shape passes the kernel gates."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .pallas_fused import fused_fits, fused_schur_dir
+
+    mesh, amap = sh
+    ax = axis % v.ndim
+    if (ax - (v.ndim - 3)) in amap:
+        return None  # solve axis is cut: no local line solve possible
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    lshape = list(v.shape)
+    for ga, nm in amap.items():
+        d = v.ndim - 3 + ga
+        if lshape[d] % sizes[nm] != 0:
+            return None
+        lshape[d] //= sizes[nm]
+    if not fused_fits(tuple(lshape), v.dtype, axis, interpret):
+        return None
+
+    def spec_for(a):
+        s = [None] * a.ndim
+        for ga, nm in amap.items():
+            s[a.ndim - 3 + ga] = nm
+        return P(*s)
+
+    def body(o, vv, sc, d_, l_):
+        r = fused_schur_dir(o, vv, sc, d_, l_, axis, bx0, bx1, interpret=interpret)
+        assert r is not None  # guaranteed by the fused_fits pre-check
+        return r
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=tuple(spec_for(a) for a in (acc, v, scale, dm, lf)),
+        out_specs=spec_for(acc),
+        # pallas_call's ShapeDtypeStruct outputs carry no vma annotation
+        check_vma=False,
+    )(acc, v, scale, dm, lf)
+
+
 def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str):
     """S v = C v + sum_d B_d A_d^{-1} B_d^T v   (matrix-free Schur complement).
 
@@ -282,11 +325,13 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str):
         and fes.m == 0
         and os.environ.get("NEUTFEM_PALLAS", "1") != "0"
     )
+    sh = None
     if use_fused:
         from ..shardctx import current_sharding
         from .pallas_tridiag import pallas_available
 
-        use_fused = current_sharding() is None and pallas_available()
+        use_fused = pallas_available()
+        sh = current_sharding()
     for di in fes.dirs:
         key = f"d{di.d}"
         if use_fused and f"cyc_wt_{key}" not in ctx and f"scale_fused_{key}" in ctx:
@@ -294,10 +339,21 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str):
 
             dm = jnp.expand_dims(ctx[f"tri_dinvm_{key}"], -4)
             lf = jnp.expand_dims(ctx[f"tri_l_{key}"], -4)
-            res = fused_schur_dir(
-                out, v, ctx[f"scale_fused_{key}"], dm, lf, di.axis - 3,
-                float(di.BX[0, 0, 0]), float(di.BX[1, 0, 0]),
-            )
+            bx0 = float(di.BX[0, 0, 0])
+            bx1 = float(di.BX[1, 0, 0])
+            if sh is None:
+                res = fused_schur_dir(
+                    out, v, ctx[f"scale_fused_{key}"], dm, lf, di.axis - 3,
+                    bx0, bx1,
+                )
+            else:
+                # direction orthogonal to every mesh cut: per-shard fused kernel
+                # on complete local lines (shard_map); cut directions take the
+                # partitionable unfused path below
+                res = _fused_sharded(
+                    sh, out, v, ctx[f"scale_fused_{key}"], dm, lf, di.axis - 3,
+                    bx0, bx1,
+                )
             if res is not None:
                 out = res
                 continue

@@ -42,7 +42,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_tridiag import _VMEM_BUDGET, _pad_up, _round_down
 
-__all__ = ["fused_schur_dir"]
+__all__ = ["fused_schur_dir", "fused_fits"]
+
+
+def fused_fits(shape, dtype, axis: int, interpret: bool = False) -> bool:
+    """True iff fused_schur_dir would engage (not decline) for this flux shape.
+    Used by the sharded caller to pre-check the PER-SHARD local shape before
+    wrapping the kernel in shard_map (where returning None is not an option)."""
+    if not interpret and dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    nd = len(shape)
+    if nd < 3:
+        return False
+    axis = axis % nd
+    rel = axis - (nd - 3)
+    if rel < 0:
+        return False
+    n = shape[axis]
+    if n < 4:
+        return False
+    if rel != 2 and shape[-1] < 64:
+        return False
+    size = 1
+    for s in shape:
+        size *= s
+    if rel == 2:
+        return size // n >= 512
+    if rel == 1:
+        s0, s2 = shape[-3], shape[-1]
+        return s0 >= 4 and s0 * s2 >= 512
+    s1, s2 = shape[-2], shape[-1]
+    return s1 * s2 >= 512
 
 
 def _body_z(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, *, bx0, bx1):
@@ -208,20 +238,12 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
     face-shaped along `axis` (n+1 / n+1 / n entries).  All spatial dims must be
     the last three; `axis` negative in [-3, -1].
     """
-    if not interpret and v.dtype not in (jnp.float32, jnp.bfloat16):
-        return None
-    if v.ndim < 3:
+    if not fused_fits(v.shape, v.dtype, axis, interpret):
         return None
     axis = axis % v.ndim
     rel = axis - (v.ndim - 3)
-    if rel < 0:
-        return None
     n = v.shape[axis]
-    if n < 4:
-        return None
     shape = v.shape
-    if rel != 2 and shape[-1] < 64:
-        return None
     itemsize = v.dtype.itemsize
 
     fshape = shape[:axis] + (n + 1,) + shape[axis + 1:]
@@ -232,8 +254,6 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
 
     if rel == 2:
         B = v.size // n
-        if B < 512:
-            return None
         npad = _pad_up(n + 1, 128)
         tb = _round_down(min(1024, _VMEM_BUDGET // (16 * npad * itemsize)), 256)
         out = _fused_x(acc.reshape(B, n), v.reshape(B, n),
@@ -243,10 +263,6 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
 
     if rel == 1:
         s0, s1, s2 = shape[-3], shape[-2], shape[-1]
-        if s0 < 4 or s0 * s2 < 512:
-            # thin batch over the sublane axis (e.g. 2D meshes): the (ts, tc)
-            # tiles would run mostly masked — unfused path instead
-            return None
         B = v.size // (s0 * s1 * s2)
         tc = _round_down(min(256, _VMEM_BUDGET // (14 * 8 * (n + 1) * itemsize)), 128)
         tc = min(tc, _pad_up(s2, 128))
@@ -260,8 +276,6 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
         return out.reshape(shape)
 
     s0, s1, s2 = shape[-3], shape[-2], shape[-1]
-    if s1 * s2 < 512:
-        return None
     B = v.size // (s0 * s1 * s2)
     tc = _round_down(min(256, _VMEM_BUDGET // (14 * 8 * (n + 1) * itemsize)), 128)
     tc = min(tc, _pad_up(s2, 128))

@@ -132,6 +132,8 @@ def tridiag_solve(rhs, dinv, l, axis: int, shard=None):
         return shard_map(
             lambda r, d, lo: _local_solve(r, d, lo, axis),
             mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            # pallas_call's ShapeDtypeStruct outputs carry no vma annotation
+            check_vma=False,
         )(rhs, dinv_b, lb)
 
     return _local_solve(rhs, dinv_b, lb, axis)

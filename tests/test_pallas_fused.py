@@ -87,3 +87,49 @@ def test_fused_declines_small_shapes():
     res = fused_schur_dir(v, v, ctx[f"scale_fused_{key}"], dm, lf, di.axis - 3,
                           1.0, -1.0, interpret=True)
     assert res is None
+
+
+def test_fused_sharded_matches_unfused():
+    """The shard_map-wrapped fused kernel (direction orthogonal to the cut) must
+    equal the unfused schur contribution — virtual 8-device mesh, interpret mode."""
+    import jax
+    from neutfem_tpu.ops.apply import _fused_sharded
+    from neutfem_tpu.parallel import device_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    # ny = 64 divides the 8-device mesh; cut axis = y (spatial axis 1); sizes
+    # chosen so the PER-SHARD local shapes pass the kernel gates for x and z
+    mesh, fes, ng, ctx = _problem((32, 64, 64))
+    rng = np.random.default_rng(7)
+    v = phi_to_internal(jnp.asarray(rng.normal(size=(ng, *mesh.shape, fes.P)), DT))
+    want = schur_matvec(fes, ctx, v, a_mode="exact")
+
+    dmesh = device_mesh(8)
+    amap = {1: dmesh.axis_names[0]}
+    out = ctx["C"] * v
+    n_sharded = 0
+    for di in fes.dirs:
+        key = f"d{di.d}"
+        dm = jnp.expand_dims(ctx[f"tri_dinvm_{key}"], -4)
+        lf = jnp.expand_dims(ctx[f"tri_l_{key}"], -4)
+        res = _fused_sharded((dmesh, amap), out, v, ctx[f"scale_fused_{key}"],
+                             dm, lf, di.axis - 3,
+                             float(di.BX[0, 0, 0]), float(di.BX[1, 0, 0]),
+                             interpret=True)
+        if di.axis == 1:
+            assert res is None  # solve axis on the cut: must decline
+        if res is None:
+            from neutfem_tpu.ops.apply import apply_B_dir, apply_BT_dir, solve_A_dir
+
+            rF, rW = apply_BT_dir(fes, di, v)
+            F, W = solve_A_dir(fes, di, ctx[f"tri_dinv_{key}"],
+                               ctx.get(f"tri_l_{key}"), ctx[f"mask_{key}"],
+                               ctx[f"alpha_{key}"], rF, rW, "exact")
+            out = out + apply_B_dir(fes, di, F, W)
+        else:
+            n_sharded += 1
+            out = res
+    assert n_sharded == 2  # x and z went through the sharded fused kernel
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
