@@ -110,6 +110,7 @@ def build_context(
     line_ax = None
     line2_offd = None
     line2_ax = None
+    lr_stash: Dict[str, tuple] = {}  # per-direction (left, right) face inv-diag slices
 
     for di in fes.dirs:
         d, ax = di.d, di.axis  # ax in (nz, ny, nx) order
@@ -199,6 +200,7 @@ def build_context(
             inv_diag_c = 1.0 / diag_c
             left = inv_diag_c                      # elem i's left face = face i
             right = np.roll(inv_diag_c, -1, axis=fax)  # right face = face (i+1)%n
+            lr_stash[key] = (left, right)
             m_t_of_p = di.m_t[di.p_to_t]
             pd = fes.modes[:, d]
             coefL = ((et.D1[pd, 0] ** 2) * m_t_of_p).reshape(1, -1, 1, 1, 1)
@@ -354,6 +356,7 @@ def build_context(
         inv_diag = mask[None] / diag
         left = inv_diag[_axslice(4, fax, slice(0, n_faces - 1))]
         right = inv_diag[_axslice(4, fax, slice(1, n_faces))]
+        lr_stash[key] = (left, right)
         m_t_of_p = di.m_t[di.p_to_t]  # (P,)
         pd = fes.modes[:, d]
         coefL = ((et.D1[pd, 0] ** 2) * m_t_of_p).reshape(1, -1, 1, 1, 1)
@@ -370,6 +373,97 @@ def build_context(
                 line_offd, line_ax = interior, fax
             else:
                 line2_offd, line2_ax = interior, fax
+
+    # -- exact Schur diagonal (a_mode="exact"): the diag-A estimate `pre`
+    # underestimates diag(S) by up to ~460x for higher orders (the exact
+    # per-direction A^-1 has tridiagonal-inverse fill, and bubble condensation
+    # adds large mode-dependent terms), which wrecks both the Jacobi
+    # equilibration and any preconditioner built on it (measured 430 CG
+    # inners/outer on IAEA-3D RT1-P1).  diag(T^-1) and (T^-1)_{i,i+1} follow
+    # from O(n) recurrences on the LDL^T factors:
+    #   (T^-1)_{nn} = d^-1_n;  (T^-1)_{ii} = d^-1_i + l_i^2 (T^-1)_{i+1,i+1};
+    #   (T^-1)_{i,i+1} = -l_i (T^-1)_{i+1,i+1}
+    # and the per-cell quadratic form of the CONDENSED solve is
+    #   c^' T^-1 c^ / m_t + b_W' M_bb^-1 b_W / (alpha m_t),  c^ = b_F - G^T b_W.
+    def _tinv_dd_od(dinv_a, l_a, fax_a):
+        di_m = np.moveaxis(dinv_a, fax_a, -1)  # inverse pivots 1/d_i
+        lm = np.moveaxis(l_a, fax_a, -1)
+        n1 = di_m.shape[-1]
+        dd = np.empty_like(di_m)
+        od = np.empty_like(lm)
+        dd[..., n1 - 1] = di_m[..., n1 - 1]
+        for i in range(n1 - 2, -1, -1):
+            dd[..., i] = di_m[..., i] + lm[..., i] ** 2 * dd[..., i + 1]
+            od[..., i] = -lm[..., i] * dd[..., i + 1]
+        return np.moveaxis(dd, -1, fax_a), np.moveaxis(od, -1, fax_a)
+
+    if a_mode == "exact":
+        pre_x = C.copy()
+        blk = None
+        if fes.P > 1:
+            blk = np.zeros((ng, fes.P, fes.P) + mesh.shape)
+            idx = np.arange(fes.P)
+            blk[:, idx, idx] = C
+        for di in fes.dirs:
+            key = f"d{di.d}"
+            d, ax = di.d, di.axis
+            fax = 1 + ax
+            ncell = mesh.shape[ax]
+            imt = 1.0 / di.m_t
+            if f"cyc_wt_{key}" in ctx_np:
+                # periodic direction: keep the diag-A estimate (Sherman-Morrison
+                # inverse diagonals are not worth the complexity here)
+                left, right = lr_stash[key]
+                M0 = np.einsum("pt,qt,t->pq", di.BX[0], di.BX[0], imt)
+                M1 = np.einsum("pt,qt,t->pq", di.BX[1], di.BX[1], imt)
+                pre_x += np.diagonal(M0).reshape(1, -1, 1, 1, 1) * left[:, None]
+                pre_x += np.diagonal(M1).reshape(1, -1, 1, 1, 1) * right[:, None]
+                if blk is not None:
+                    blk += M0[None, :, :, None, None, None] * left[:, None, None]
+                    blk += M1[None, :, :, None, None, None] * right[:, None, None]
+                continue
+            dinv_d = ctx_np[f"tri_dinv_{key}"]
+            l_d = ctx_np[f"tri_l_{key}"]
+            mask_d = ctx_np[f"mask_{key}"]
+            dd, od = _tinv_dd_od(dinv_d, l_d, fax)
+            dd = dd * mask_d[None]
+            mL = mask_d[_axslice(3, ax, slice(0, ncell))]
+            mR = mask_d[_axslice(3, ax, slice(1, ncell + 1))]
+            od = od * (mL * mR)[None]
+            ddL = dd[_axslice(4, fax, slice(0, ncell))]       # (ng, cells)
+            ddR = dd[_axslice(4, fax, slice(1, ncell + 1))]
+            # condensed face vector c^ = b_F - G^T b_W per (face, mode, t)
+            chat = np.array(di.BX[:2], dtype=np.float64)
+            if et.nbub > 0:
+                chat = chat - np.einsum("bf,bpt->fpt", et.G, di.BX[2:])
+            c00 = np.einsum("pt,qt,t->pq", chat[0], chat[0], imt)
+            c11 = np.einsum("pt,qt,t->pq", chat[1], chat[1], imt)
+            c01 = np.einsum("pt,qt,t->pq", chat[0], chat[1], imt)
+            pre_x += (np.diagonal(c00).reshape(1, -1, 1, 1, 1) * ddL[:, None]
+                      + np.diagonal(c11).reshape(1, -1, 1, 1, 1) * ddR[:, None]
+                      + 2.0 * np.diagonal(c01).reshape(1, -1, 1, 1, 1) * od[:, None])
+            if blk is not None:
+                blk += c00[None, :, :, None, None, None] * ddL[:, None, None]
+                blk += c11[None, :, :, None, None, None] * ddR[:, None, None]
+                blk += (c01 + c01.T)[None, :, :, None, None, None] * od[:, None, None]
+            if et.nbub > 0:
+                w_pq = np.einsum("bpt,bc,cqt,t->pq",
+                                 di.BX[2:], et.Mbb_inv, di.BX[2:], imt)
+                inv_alpha = 1.0 / ctx_np[f"alpha_{key}"]  # (ng, cells)
+                pre_x += np.diagonal(w_pq).reshape(1, -1, 1, 1, 1) * inv_alpha[:, None]
+                if blk is not None:
+                    blk += w_pq[None, :, :, None, None, None] * inv_alpha[:, None, None]
+        pre = pre_x
+        if blk is not None:
+            # P x P per-cell block-Jacobi for higher orders, equilibrated by the
+            # exact diagonal (unit diagonal: f32-safe) and inverted once; stored
+            # mode-first (ng, P, P, nz, ny, nx) so minor dims stay spatial.
+            # New TPU-native scope (the reference CG is unpreconditioned).
+            sdi = 1.0 / np.sqrt(pre)  # (ng, P, sp)
+            blk_hat = blk * sdi[:, :, None] * sdi[:, None, :]
+            bh = np.moveaxis(blk_hat.reshape(ng, fes.P, fes.P, -1), -1, 1)
+            bh_inv = np.linalg.inv(bh)
+            ctx_np["precond_blk_inv"] = np.moveaxis(bh_inv, 1, -1).reshape(blk.shape)
 
     ctx_np["precond_inv"] = 1.0 / pre
     if line_offd is not None:

@@ -176,7 +176,17 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
     precond = None
     pc_mode = opts.inner_precond
     if pc_mode == "auto":
-        pc_mode = "line" if fes.mesh.n_elements >= 2_000_000 else "jacobi"
+        if fes.P > 1:
+            pc_mode = "block"
+        else:
+            pc_mode = "line" if fes.mesh.n_elements >= 2_000_000 else "jacobi"
+    if pc_mode == "block" and "precond_blk_inv" in ctxg:
+        # P x P per-cell block-Jacobi (higher orders): captures the inter-mode
+        # coupling of the Schur diagonal block that pointwise Jacobi ignores
+        # (built on the equilibrated system in build_context).  Spatially
+        # elementwise, so it needs no sharding special-case.
+        bi = ctxg["precond_blk_inv"]
+        precond = lambda r: jnp.einsum("...pqabc,...qabc->...pabc", bi, r)
     if pc_mode in ("line", "line2") and "precond_line_dinv" in ctxg:
         from .fespace import GRID_AXIS
         from .ops.tridiag import tridiag_solve
