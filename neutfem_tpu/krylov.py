@@ -52,6 +52,11 @@ def pcg(
 
     b_norm_sq = _dot(rhs, rhs).real
     tol_sq = tol * tol * b_norm_sq
+    # b = 0 has the unique solution x = 0, but a nonzero warm start makes the
+    # relative stopping rule ||r||^2 < tol^2 ||b||^2 = 0 unreachable (runs to
+    # maxiter; NaNs under TPU-emulated f64).  The reference never hits this
+    # (it cold-starts from zero, solvers.cpp:585); we warm-start, so guard.
+    zero_rhs = b_norm_sq == 0.0
 
     r0 = jax.tree_util.tree_map(lambda b, ax: b - ax, rhs, matvec(x0))
     z0 = precond(r0)
@@ -60,7 +65,8 @@ def pcg(
 
     def cond(state):
         _, _, _, _, rr, _, it = state
-        return jnp.logical_and(it < maxiter, rr > tol_sq)
+        return jnp.logical_and(jnp.logical_and(it < maxiter, rr > tol_sq),
+                               jnp.logical_not(zero_rhs))
 
     def body(state):
         x, r, z, p, rr, rz, it = state
@@ -80,6 +86,8 @@ def pcg(
     x, r, _, _, rr, _, it = lax.while_loop(
         cond, body, (x0, r0, z0, z0, rr0, rz0, jnp.asarray(0, dtype=jnp.int32))
     )
+    x = jax.tree_util.tree_map(lambda xi: jnp.where(zero_rhs, 0.0, xi), x)
+    rr = jnp.where(zero_rhs, 0.0, rr)
     denom = jnp.sqrt(jnp.where(b_norm_sq == 0.0, 1.0, b_norm_sq))
     return KrylovResult(x=x, iterations=it, residual=jnp.sqrt(rr) / denom)
 
@@ -98,6 +106,7 @@ def bicgstab(
 
     b_norm_sq = _dot(rhs, rhs).real
     tol_sq = tol * tol * b_norm_sq
+    zero_rhs = b_norm_sq == 0.0  # see pcg: warm start + zero rhs never converges
 
     r0 = jax.tree_util.tree_map(lambda b, ax: b - ax, rhs, matvec(x0))
     rhat = r0
@@ -105,7 +114,7 @@ def bicgstab(
 
     def cond(state):
         _, _, _, _, _, _, _, rr, it, brk = state
-        return (it < maxiter) & (rr > tol_sq) & (~brk)
+        return (it < maxiter) & (rr > tol_sq) & (~brk) & (~zero_rhs)
 
     def body(state):
         x, r, p, v, rho, alpha, omega, rr, it, brk = state
@@ -136,5 +145,7 @@ def bicgstab(
         (x0, r0, r0, jax.tree_util.tree_map(jnp.zeros_like, r0), one, one, one, rr0,
          jnp.asarray(0, dtype=jnp.int32), jnp.asarray(False)),
     )
+    x = jax.tree_util.tree_map(lambda xi: jnp.where(zero_rhs, 0.0, xi), x)
+    rr = jnp.where(zero_rhs, 0.0, rr)
     denom = jnp.sqrt(jnp.where(b_norm_sq == 0.0, 1.0, b_norm_sq))
     return KrylovResult(x=x, iterations=it, residual=jnp.sqrt(rr) / denom)

@@ -292,3 +292,24 @@ def test_line_preconditioner_same_k_fewer_inners():
         res[pc] = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
     assert abs(float(res["line"]["keff"]) - float(res["jacobi"]["keff"])) < 1e-7
     assert int(res["line"]["inner_iterations"]) < int(res["jacobi"]["inner_iterations"])
+
+
+def test_zero_rhs_group_solve_short_circuits():
+    """A group with zero source (chi_2 = 0, no scattering into it) must solve to
+    exactly zero flux IMMEDIATELY: the warm start is nonzero while ||b|| = 0, so
+    without the Krylov zero-rhs guard the relative stopping rule is unreachable
+    (1000 iterations per outer; NaN under TPU-emulated f64 — the reference's own
+    README quick-start example hits this)."""
+    mesh, fes, ng, xs, bcs = build_2d_problem()
+    xs["SigS"][:] = 0.0  # no 1 -> 2 scattering: group 2 has no source at all
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
+    oracle = DenseOracle(fes, ng, xs, bcs)
+    k_ref = dense_keff(oracle, xs, ng)
+
+    opts = SolveOptions(tol_keff=1e-10, tol_flux=1e-8, inner_tol=1e-12)
+    phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
+    res = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
+    assert abs(float(res["keff"]) - k_ref) < 5e-9
+    np.testing.assert_array_equal(np.asarray(res["phi"][1]), 0.0)
+    # without the guard this is ~1000 * outers; with it the zero solves are free
+    assert int(res["inner_iterations"]) < 60 * int(res["outer_iterations"])
