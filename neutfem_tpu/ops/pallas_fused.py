@@ -102,31 +102,41 @@ def _body_z(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, *, bx0, bx1):
     jax.lax.fori_loop(0, n, bwd, f_next)
 
 
-def _body_y(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, *, bx0, bx1):
-    """Blocks: acc/v/out (1, ts, n, tc); s/dm (1, ts, n+1, tc); l (1, ts, n, tc);
-    scratch zf (n+1, ts, tc).  Recurrence over axis 2 on (ts, tc) tiles."""
-    n = v_ref.shape[2]
+def _body_y(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, vt, st, dt_, lt, ot,
+            *, bx0, bx1):
+    """Blocks: acc/v/out (1, ts, n, tc); s/dm (1, ts, n+1, tc); l (1, ts, n, tc).
 
-    zf[0] = (bx0 * v_ref[0, :, 0, :]) * s_ref[0, :, 0, :]
+    The recurrence must slice per solve-axis index; slicing [:, f, :] cuts the
+    SUBLANE axis of the (n, tc)-tiled block (strided 1/8-utilization reads per
+    step), so every operand is first relayouted into an (n[, +1], ts, tc)
+    scratch whose [f] slices are whole (ts, tc) tiles, like the z kernel."""
+    n = v_ref.shape[2]
+    vt[:] = jnp.swapaxes(v_ref[0], 0, 1)
+    st[:] = jnp.swapaxes(s_ref[0], 0, 1)
+    dt_[:] = jnp.swapaxes(dm_ref[0], 0, 1)
+    lt[:] = jnp.swapaxes(l_ref[0], 0, 1)
+
+    zf[0] = (bx0 * vt[0]) * st[0]
 
     def fwd(f, z_prev):
-        rf = bx1 * v_ref[0, :, f - 1, :] + jnp.where(f < n, bx0, 0.0) * v_ref[0, :, jnp.minimum(f, n - 1), :]
-        z = rf * s_ref[0, :, f, :] - l_ref[0, :, f - 1, :] * z_prev
+        rf = bx1 * vt[f - 1] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1)]
+        z = rf * st[f] - lt[f - 1] * z_prev
         zf[f] = z
         return z
 
     z_last = jax.lax.fori_loop(1, n + 1, fwd, zf[0])
-    f_next = z_last * dm_ref[0, :, n, :]
+    f_next = z_last * dt_[n]
     zf[n] = f_next
 
     def bwd(i, f_next):
         e = n - 1 - i
-        f_e = zf[e] * dm_ref[0, :, e, :] - l_ref[0, :, e, :] * f_next
-        out_ref[0, :, e, :] = acc_ref[0, :, e, :] + bx0 * f_e + bx1 * f_next
+        f_e = zf[e] * dt_[e] - lt[e] * f_next
+        ot[e] = bx0 * f_e + bx1 * f_next
         zf[e] = f_e
         return f_e
 
     jax.lax.fori_loop(0, n, bwd, f_next)
+    out_ref[0] = acc_ref[0] + jnp.swapaxes(ot[:], 0, 1)
 
 
 def _body_x(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, vt, zf, ot, lt, *, bx0, bx1):
@@ -199,7 +209,14 @@ def _fused_y(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",) * 3),
         in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
         out_specs=spec(n),
-        scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), v.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((n + 1, ts, tc), v.dtype),
+            pltpu.VMEM((n, ts, tc), v.dtype),
+            pltpu.VMEM((n + 1, ts, tc), v.dtype),
+            pltpu.VMEM((n + 1, ts, tc), v.dtype),
+            pltpu.VMEM((n, ts, tc), v.dtype),
+            pltpu.VMEM((n, ts, tc), v.dtype),
+        ],
         input_output_aliases={0: 0},
         interpret=interpret,
     )(acc, v, s, dm, l)
@@ -264,9 +281,11 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
     if rel == 1:
         s0, s1, s2 = shape[-3], shape[-2], shape[-1]
         B = v.size // (s0 * s1 * s2)
-        tc = _round_down(min(256, _VMEM_BUDGET // (14 * 8 * (n + 1) * itemsize)), 128)
+        # ~20 VMEM footprints: 6 double-buffered operand blocks + 6 relayout
+        # scratches (see _body_y)
+        tc = _round_down(min(256, _VMEM_BUDGET // (20 * 8 * (n + 1) * itemsize)), 128)
         tc = min(tc, _pad_up(s2, 128))
-        ts = _round_down(min(8, _VMEM_BUDGET // (14 * (n + 1) * tc * itemsize)), 8)
+        ts = _round_down(min(8, _VMEM_BUDGET // (20 * (n + 1) * tc * itemsize)), 8)
         ts = min(ts, _pad_up(s0, 8))
         out = _fused_y(acc.reshape(B, s0, s1, s2), v.reshape(B, s0, s1, s2),
                        scale_b.reshape(B, s0, s1 + 1, s2),
