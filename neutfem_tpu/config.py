@@ -23,6 +23,19 @@ _X64 = os.environ.get("NEUTFEM_X64", "1") not in ("0", "false", "False")
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
+# TPU matmul precision: JAX's DEFAULT lowers float32 contractions to single-pass
+# bfloat16 on the MXU (~8-bit mantissa).  Every higher-order (P > 1) hot-path op
+# here is a SMALL einsum (B/B^T mode contractions, bubble condensation, PxP
+# block-Jacobi applies) whose operand dims are <= ~9 — MXU time is negligible but
+# the bf16 rounding is not: it floors the outer flux-diff at ~1e-3..2e-3 at scale
+# (the round-2 "higher-order float32 floor"; CPU f32, with true-f32 einsums,
+# converges the same problems to dphi < 1e-5).  HIGHEST recovers ~f32 accuracy
+# via multi-pass bf16 at immeasurable cost for these shapes.  Override with
+# NEUTFEM_MATMUL_PRECISION=default if ever needed.
+_prec = os.environ.get("NEUTFEM_MATMUL_PRECISION", "highest")
+if _prec not in ("", "default"):
+    jax.config.update("jax_default_matmul_precision", _prec)
+
 # Persistent compilation cache: the jitted power-iteration while_loops are large
 # graphs whose first compile dominates small-problem wall time; cache them across
 # processes (override location with NEUTFEM_COMP_CACHE, disable with "0").
