@@ -297,8 +297,28 @@ def build_context(
         if et.k == 0 and fes.m == 0 and l is not None:
             # RT0 fused-kernel operands (ops/pallas_fused.py): the pre-masked
             # scale mask/m_t (group-independent) and dinv*mask (group-sliced)
-            ctx_np[f"scale_fused_{key}"] = mask / di.m_t[0]
-            ctx_np[f"tri_dinvm_{key}"] = dinv * mask[None]
+            sc = mask / di.m_t[0]
+            dmm = dinv * mask[None]
+            ctx_np[f"scale_fused_{key}"] = sc
+            ctx_np[f"tri_dinvm_{key}"] = dmm
+            if ax == 2:
+                # x direction (solve axis minor): stage the three solve-constant
+                # operands PRE-TRANSPOSED to (n_faces, nz*ny) so the fused x
+                # kernel transposes only v/out in VMEM (2 in-kernel transposes
+                # instead of 5 — round-2 VERDICT Weak #3).  "tri_" prefix keeps
+                # the group axis sliced by power.ctx_group.
+                ctx_np[f"fusedxT_scale_{key}"] = sc.reshape(-1, sc.shape[-1]).T
+                ctx_np[f"tri_xT_dinvm_{key}"] = np.swapaxes(
+                    dmm.reshape(ng, -1, dmm.shape[-1]), -1, -2)
+                ctx_np[f"tri_xT_l_{key}"] = np.swapaxes(
+                    l.reshape(ng, -1, l.shape[-1]), -1, -2)
+            elif ax == 1:
+                # y direction: stage solve-axis-MAJOR (ny+1, nz, nx) so the
+                # fused y kernel reads whole (ts, tc) tiles per recurrence step
+                # without relayouting s/dm/l in VMEM (3 scratches fewer)
+                ctx_np[f"fusedyT_scale_{key}"] = np.moveaxis(sc, 1, 0)
+                ctx_np[f"tri_yT_dinvm_{key}"] = np.moveaxis(dmm, 2, 1)
+                ctx_np[f"tri_yT_l_{key}"] = np.moveaxis(l, 2, 1)
 
         if np.any(jpin != 0.0):
             # Inhomogeneous essential lift J = J' + J_q (nonzero NEUMANN):

@@ -42,7 +42,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_tridiag import _VMEM_BUDGET, _pad_up, _round_down
 
-__all__ = ["fused_schur_dir", "fused_fits"]
+__all__ = ["fused_schur_dir", "fused_fits", "fused_schur_x_pre",
+           "fused_schur_y_pre"]
+
+
+def _tiles(shape, dtype, rel: int):
+    """Block sizes for the (rel)-axis kernel, or None when the VMEM budget
+    underflows the minimum tile (very long solve axes — round-2 ADVICE #1:
+    clamping to the floor would blow the budget and fail at Mosaic compile).
+    Shared by fused_fits (pre-check) and fused_schur_dir (dispatch) so the two
+    can never disagree."""
+    itemsize = jnp.dtype(dtype).itemsize
+    n = shape[-3 + rel] if rel != 2 else shape[-1]
+    if rel == 2:
+        npad = _pad_up(n + 1, 128)
+        tb = _round_down(min(1024, _VMEM_BUDGET // (16 * npad * itemsize)), 256)
+        return (tb,) if tb else None
+    # ~20 VMEM footprints for y (6 double-buffered operand blocks + 6 relayout
+    # scratches, see _body_y); 14 for z
+    fp = 20 if rel == 1 else 14
+    tc = _round_down(min(256, _VMEM_BUDGET // (fp * 8 * (n + 1) * itemsize)), 128)
+    if tc == 0:
+        return None
+    tc = min(tc, _pad_up(shape[-1], 128))
+    ts = _round_down(min(8, _VMEM_BUDGET // (fp * (n + 1) * tc * itemsize)), 8)
+    if ts == 0:
+        return None
+    ts = min(ts, _pad_up(shape[-3] if rel == 1 else shape[-2], 8))
+    return (ts, tc)
 
 
 def fused_fits(shape, dtype, axis: int, interpret: bool = False) -> bool:
@@ -62,6 +89,8 @@ def fused_fits(shape, dtype, axis: int, interpret: bool = False) -> bool:
     if n < 4:
         return False
     if rel != 2 and shape[-1] < 64:
+        return False
+    if _tiles(shape, dtype, rel) is None:
         return False
     size = 1
     for s in shape:
@@ -131,6 +160,72 @@ def _body_y(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, vt, st, dt_, lt, 
     def bwd(i, f_next):
         e = n - 1 - i
         f_e = zf[e] * dt_[e] - lt[e] * f_next
+        ot[e] = bx0 * f_e + bx1 * f_next
+        zf[e] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
+    out_ref[0] = acc_ref[0] + jnp.swapaxes(ot[:], 0, 1)
+
+
+def _body_xT(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, vt, ot, *, bx0, bx1):
+    """Pre-transposed x variant: s/dm/l arrive already staged as (n+1 / n+1 / n, B)
+    arrays (built once per context — they are solve-constant), so the kernel
+    transposes only v in and the accumulated result out (2 in-kernel transposes
+    instead of 5; round-2 VERDICT Weak #3).  Blocks: acc/v/out (tb, n);
+    s/dm (n+1, tb); l (n, tb).  Scratches: vt (n, tb) [v, then the out
+    contribution], ot (n+1, tb) [z, then F]."""
+    n = v_ref.shape[1]
+    vt[:] = v_ref[:].T
+
+    z0 = (bx0 * vt[0, :]) * s_ref[0, :]
+    ot[0, :] = z0
+
+    def fwd(f, z_prev):
+        rf = bx1 * vt[f - 1, :] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1), :]
+        z = rf * s_ref[f, :] - l_ref[f - 1, :] * z_prev
+        ot[f, :] = z
+        return z
+
+    jax.lax.fori_loop(1, n + 1, fwd, z0)
+    f_next = ot[n, :] * dm_ref[n, :]
+    ot[n, :] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = ot[e, :] * dm_ref[e, :] - l_ref[e, :] * f_next
+        vt[e, :] = bx0 * f_e + bx1 * f_next
+        ot[e, :] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
+    out_ref[:] = acc_ref[:] + vt[:n, :].T
+
+
+def _body_yT(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, vt, ot, *, bx0, bx1):
+    """Pre-staged y variant: s/dm/l arrive solve-axis-MAJOR — arrays (n+1 / n+1 /
+    n, nz, nx), blocks (rows, ts, tc) — so only v is relayouted in (and the
+    accumulated contribution out).  3 relayout scratches fewer than _body_y,
+    which pushed VMEM near budget (tc capped at 128; round-3 lead in CLAUDE.md).
+    Blocks: acc/v/out (1, ts, n, tc); s/dm (n+1, ts, tc); l (n, ts, tc)."""
+    n = v_ref.shape[2]
+    vt[:] = jnp.swapaxes(v_ref[0], 0, 1)
+
+    zf[0] = (bx0 * vt[0]) * s_ref[0]
+
+    def fwd(f, z_prev):
+        rf = bx1 * vt[f - 1] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1)]
+        z = rf * s_ref[f] - l_ref[f - 1] * z_prev
+        zf[f] = z
+        return z
+
+    z_last = jax.lax.fori_loop(1, n + 1, fwd, zf[0])
+    f_next = z_last * dm_ref[n]
+    zf[n] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = zf[e] * dm_ref[e] - l_ref[e] * f_next
         ot[e] = bx0 * f_e + bx1 * f_next
         zf[e] = f_e
         return f_e
@@ -222,6 +317,56 @@ def _fused_y(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
     )(acc, v, s, dm, l)
 
 
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "ts", "tc", "interpret"))
+def _fused_yT(acc, v, sT, dmT, lT, bx0: float, bx1: float, ts: int, tc: int,
+              interpret: bool = False):
+    B, S, n, C = v.shape
+    cell = pl.BlockSpec((1, ts, n, tc), lambda b, si, c: (b, si, 0, c),
+                        memory_space=pltpu.VMEM)
+    tsp = lambda rows: pl.BlockSpec((rows, ts, tc), lambda b, si, c: (0, si, c),
+                                    memory_space=pltpu.VMEM)
+    kern = functools.partial(_body_yT, bx0=bx0, bx1=bx1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, S, n, C), v.dtype),
+        grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",) * 3),
+        in_specs=[cell, cell, tsp(n + 1), tsp(n + 1), tsp(n)],
+        out_specs=cell,
+        scratch_shapes=[
+            pltpu.VMEM((n + 1, ts, tc), v.dtype),
+            pltpu.VMEM((n, ts, tc), v.dtype),
+            pltpu.VMEM((n, ts, tc), v.dtype),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, v, sT, dmT, lT)
+
+
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "tb", "interpret"))
+def _fused_xT(acc, v, sT, dmT, lT, bx0: float, bx1: float, tb: int,
+              interpret: bool = False):
+    B, n = v.shape
+    cell_spec = pl.BlockSpec((tb, n), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    tspec = lambda rows: pl.BlockSpec((rows, tb), lambda b: (0, b),
+                                      memory_space=pltpu.VMEM)
+    kern = functools.partial(_body_xT, bx0=bx0, bx1=bx1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, n), v.dtype),
+        grid=(pl.cdiv(B, tb),),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        in_specs=[cell_spec, cell_spec, tspec(n + 1), tspec(n + 1), tspec(n)],
+        out_specs=cell_spec,
+        scratch_shapes=[
+            pltpu.VMEM((n, tb), v.dtype),
+            pltpu.VMEM((n + 1, tb), v.dtype),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, v, sT, dmT, lT)
+
+
 @functools.partial(jax.jit, static_argnames=("bx0", "bx1", "tb", "interpret"))
 def _fused_x(acc, v, s, dm, l, bx0: float, bx1: float, tb: int,
              interpret: bool = False):
@@ -247,6 +392,69 @@ def _fused_x(acc, v, s, dm, l, bx0: float, bx1: float, tb: int,
     )(acc, v, s, dm, l)
 
 
+def fused_schur_x_pre(acc, v, sT, dmT, lT, bx0: float, bx1: float,
+                      interpret: bool = False):
+    """acc + B_x A_x^{-1} B_x^T v with PRE-TRANSPOSED solve-constant operands.
+
+    v, acc: (..., nz, ny, nx) with every leading (batch/mode) dim of size 1;
+    sT, dmT: (nx+1, nz*ny); lT: (nx, nz*ny) — staged once at context-build time
+    (ops/context.py).  Returns None if the kernel does not fit (caller falls back
+    to fused_schur_dir / the unfused ops)."""
+    if not interpret and v.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    if v.ndim < 3:
+        return None
+    for s in v.shape[:-3]:
+        if s != 1:
+            return None  # batched layouts keep the broadcast kernel
+    n = v.shape[-1]
+    B = v.size // n
+    if n < 4 or B < 512 or sT.shape != (n + 1, B):
+        return None
+    itemsize = v.dtype.itemsize
+    npad = _pad_up(n + 1, 128)
+    tb = _round_down(min(1024, _VMEM_BUDGET // (16 * npad * itemsize)), 256)
+    if tb == 0:
+        return None
+    out = _fused_xT(acc.reshape(B, n), v.reshape(B, n), sT, dmT, lT,
+                    bx0, bx1, tb=tb, interpret=interpret)
+    return out.reshape(v.shape)
+
+
+def fused_schur_y_pre(acc, v, sT, dmT, lT, bx0: float, bx1: float,
+                      interpret: bool = False):
+    """acc + B_y A_y^{-1} B_y^T v with PRE-STAGED solve-axis-major operands.
+
+    v, acc: (..., nz, ny, nx) with every leading dim of size 1; sT, dmT:
+    (ny+1, nz, nx); lT: (ny, nz, nx) — staged at context-build time.  Returns
+    None if the kernel does not fit (caller falls back)."""
+    if not interpret and v.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    if v.ndim < 3 or v.shape[-1] < 64:
+        return None
+    for s in v.shape[:-3]:
+        if s != 1:
+            return None
+    s0, n, s2 = v.shape[-3], v.shape[-2], v.shape[-1]
+    if n < 4 or s0 < 4 or s0 * s2 < 512 or sT.shape != (n + 1, s0, s2):
+        return None
+    itemsize = v.dtype.itemsize
+    # ~15 footprints: 6 double-buffered cell blocks + 3 staged operand blocks
+    # (not double-buffered in effect but budgeted) + 3 scratches
+    tc = _round_down(min(256, _VMEM_BUDGET // (15 * 8 * (n + 1) * itemsize)), 128)
+    if tc == 0:
+        return None
+    tc = min(tc, _pad_up(s2, 128))
+    ts = _round_down(min(8, _VMEM_BUDGET // (15 * (n + 1) * tc * itemsize)), 8)
+    if ts == 0:
+        return None
+    ts = min(ts, _pad_up(s0, 8))
+    B = v.size // (s0 * n * s2)
+    out = _fused_yT(acc.reshape(B, s0, n, s2), v.reshape(B, s0, n, s2),
+                    sT, dmT, lT, bx0, bx1, ts=ts, tc=tc, interpret=interpret)
+    return out.reshape(v.shape)
+
+
 def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
                     interpret: bool = False):
     """acc + B_d A_d^{-1} B_d^T v for an RT0 direction, or None if no kernel fits.
@@ -261,7 +469,6 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
     rel = axis - (v.ndim - 3)
     n = v.shape[axis]
     shape = v.shape
-    itemsize = v.dtype.itemsize
 
     fshape = shape[:axis] + (n + 1,) + shape[axis + 1:]
     lshape = shape[:axis] + (n,) + shape[axis + 1:]
@@ -269,24 +476,19 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
     dinvm_b = jnp.broadcast_to(dinvm, fshape)
     l_b = jnp.broadcast_to(l, lshape)
 
+    tiles = _tiles(shape, v.dtype, rel)  # non-None: fused_fits already passed
+
     if rel == 2:
         B = v.size // n
-        npad = _pad_up(n + 1, 128)
-        tb = _round_down(min(1024, _VMEM_BUDGET // (16 * npad * itemsize)), 256)
         out = _fused_x(acc.reshape(B, n), v.reshape(B, n),
                        scale_b.reshape(B, n + 1), dinvm_b.reshape(B, n + 1),
-                       l_b.reshape(B, n), bx0, bx1, tb=tb, interpret=interpret)
+                       l_b.reshape(B, n), bx0, bx1, tb=tiles[0], interpret=interpret)
         return out.reshape(shape)
 
     if rel == 1:
         s0, s1, s2 = shape[-3], shape[-2], shape[-1]
         B = v.size // (s0 * s1 * s2)
-        # ~20 VMEM footprints: 6 double-buffered operand blocks + 6 relayout
-        # scratches (see _body_y)
-        tc = _round_down(min(256, _VMEM_BUDGET // (20 * 8 * (n + 1) * itemsize)), 128)
-        tc = min(tc, _pad_up(s2, 128))
-        ts = _round_down(min(8, _VMEM_BUDGET // (20 * (n + 1) * tc * itemsize)), 8)
-        ts = min(ts, _pad_up(s0, 8))
+        ts, tc = tiles
         out = _fused_y(acc.reshape(B, s0, s1, s2), v.reshape(B, s0, s1, s2),
                        scale_b.reshape(B, s0, s1 + 1, s2),
                        dinvm_b.reshape(B, s0, s1 + 1, s2),
@@ -296,10 +498,7 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
 
     s0, s1, s2 = shape[-3], shape[-2], shape[-1]
     B = v.size // (s0 * s1 * s2)
-    tc = _round_down(min(256, _VMEM_BUDGET // (14 * 8 * (n + 1) * itemsize)), 128)
-    tc = min(tc, _pad_up(s2, 128))
-    ts = _round_down(min(8, _VMEM_BUDGET // (14 * (n + 1) * tc * itemsize)), 8)
-    ts = min(ts, _pad_up(s1, 8))
+    ts, tc = tiles
     out = _fused_z(acc.reshape(B, s0, s1, s2), v.reshape(B, s0, s1, s2),
                    scale_b.reshape(B, s0 + 1, s1, s2),
                    dinvm_b.reshape(B, s0 + 1, s1, s2),

@@ -57,7 +57,12 @@ def pallas_available() -> bool:
 
 
 def _round_down(x: int, m: int) -> int:
-    return max((x // m) * m, m)
+    """Round x down to a multiple of the minimum tile m; 0 signals "does not fit".
+
+    Callers must treat 0 as a decline (fall back to the unfused/scan path) — the
+    old floor-at-m behavior could exceed the VMEM budget for very long solve axes
+    and fail at Mosaic compile time instead (round-2 ADVICE #1)."""
+    return (x // m) * m
 
 
 def _pad_up(x: int, m: int) -> int:
@@ -265,7 +270,10 @@ def thomas_solve(rhs, dinv, l, axis: int, interpret: bool = False):
         # tiny minor dim: the 128-lane padding waste dwarfs the kernel's win and
         # the scan path fuses into neighboring elementwise ops — decline
         return None
-    itemsize = rhs.dtype.itemsize
+    # interpret mode (CPU tests) has no VMEM limit and may run f64; size the
+    # tiles as the f32 hardware path would, so the tests exercise the same
+    # tile-selection decisions the TPU makes
+    itemsize = 4 if interpret else rhs.dtype.itemsize
 
     dinv_b = jnp.broadcast_to(dinv, shape)
     l_b = jnp.broadcast_to(l, shape[:axis] + (n - 1,) + shape[axis + 1:])
@@ -276,6 +284,8 @@ def thomas_solve(rhs, dinv, l, axis: int, interpret: bool = False):
         # cheaper than narrow blocks (serial recurrence ~ 1/width).
         B = rhs.size // n
         tb = _round_down(min(2048, _VMEM_BUDGET // (11 * _pad_up(n, 128) * itemsize)), 256)
+        if tb == 0:
+            return None  # solve axis too long for the VMEM budget: scan path
         out = _solve_transpose(rhs.reshape(B, n), dinv_b.reshape(B, n),
                                l_b.reshape(B, n - 1), tb=tb, interpret=interpret)
         return out.reshape(shape)
@@ -294,8 +304,12 @@ def thomas_solve(rhs, dinv, l, axis: int, interpret: bool = False):
         s0, s1, s2 = shape[-3], shape[-2], shape[-1]
         B4 = rhs.size // (s0 * s1 * s2)
         tc = _round_down(min(512, _VMEM_BUDGET // (8 * 8 * n * itemsize)), 128)
+        if tc == 0:
+            return None  # solve axis too long for the VMEM budget: scan path
         tc = min(tc, _pad_up(s2, 128))
         ts = _round_down(min(8, _VMEM_BUDGET // (8 * n * tc * itemsize)), 8)
+        if ts == 0:
+            return None
         ts = min(ts, _pad_up(s0, 8))
         out = _solve_y(rhs.reshape(B4, s0, s1, s2), dinv_b.reshape(B4, s0, s1, s2),
                        l_b.reshape(B4, s0, s1 - 1, s2), ts=ts, tc=tc,
@@ -309,8 +323,12 @@ def thomas_solve(rhs, dinv, l, axis: int, interpret: bool = False):
     d4 = dinv_b.reshape(B, s0, s1, s2)
     l4 = l_b.reshape(B, s0 - 1, s1, s2)
     tc = _round_down(min(512, _VMEM_BUDGET // (8 * 8 * n * itemsize)), 128)
+    if tc == 0:
+        return None  # solve axis too long for the VMEM budget: scan path
     tc = min(tc, _pad_up(s2, 128))
     ts = _round_down(min(8, _VMEM_BUDGET // (8 * n * tc * itemsize)), 8)
+    if ts == 0:
+        return None
     ts = min(ts, _pad_up(s1, 8))
     out = _solve_z(r4, d4, l4, ts=ts, tc=tc, interpret=interpret)
     return out.reshape(shape)

@@ -77,6 +77,47 @@ def test_fused_matches_unfused_all_directions(bc):
                                rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.parametrize("d", [0, 1])
+def test_fused_pre_staged_matches_broadcast_kernel(d):
+    """fused_schur_{x,y}_pre (pre-staged solve-constant operands, single-group
+    layout) must equal the broadcast kernel / unfused ops, per group."""
+    from neutfem_tpu.ops.pallas_fused import fused_schur_x_pre, fused_schur_y_pre
+    from neutfem_tpu.power import ctx_group
+
+    mesh, fes, ng, ctx = _problem((16, 32, 64))
+    key = f"d{d}"
+    tag = "xT" if d == 0 else "yT"
+    fn = fused_schur_x_pre if d == 0 else fused_schur_y_pre
+    assert f"tri_{tag}_dinvm_{key}" in ctx and f"fused{tag}_scale_{key}" in ctx
+    rng = np.random.default_rng(5)
+    di = [x for x in fes.dirs if x.d == d][0]
+    for g in range(ng):
+        ctxg = ctx_group(ctx, g)
+        v = jnp.asarray(rng.normal(size=(1, *mesh.shape)), DT)
+        acc = jnp.asarray(rng.normal(size=(1, *mesh.shape)), DT)
+        res = fn(
+            acc, v, ctxg[f"fused{tag}_scale_{key}"], ctxg[f"tri_{tag}_dinvm_{key}"],
+            ctxg[f"tri_{tag}_l_{key}"], float(di.BX[0, 0, 0]), float(di.BX[1, 0, 0]),
+            interpret=True,
+        )
+        assert res is not None
+        dm = jnp.expand_dims(ctxg[f"tri_dinvm_{key}"], -4)
+        lf = jnp.expand_dims(ctxg[f"tri_l_{key}"], -4)
+        want = fused_schur_dir(acc, v, ctxg[f"scale_fused_{key}"], dm, lf,
+                               di.axis - 3,
+                               float(di.BX[0, 0, 0]), float(di.BX[1, 0, 0]),
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(res), np.asarray(want),
+                                   rtol=3e-5, atol=3e-5)
+
+    # batched (multi-group) layouts must decline to the broadcast kernel
+    v_all = jnp.zeros((ng, 1, *mesh.shape), DT)
+    res = fn(v_all, v_all, ctx[f"fused{tag}_scale_{key}"],
+             ctx[f"tri_{tag}_dinvm_{key}"], ctx[f"tri_{tag}_l_{key}"],
+             1.0, -1.0, interpret=True)
+    assert res is None
+
+
 def test_fused_declines_small_shapes():
     mesh, fes, ng, ctx = _problem((3, 4, 8))
     v = jnp.zeros((ng, 1, *mesh.shape), DT)

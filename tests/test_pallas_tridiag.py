@@ -40,7 +40,7 @@ def _problem(shape, axis, seed=3):
         ((40, 33, 128), 1, "rows"),         # ragged batch vs TZ
         ((7, 90, 13), 2, "transpose"),      # M = 1: minor-axis solve
         ((3, 101, 257), 2, "transpose"),    # ragged B vs TB
-        ((2, 700, 700), 1, "y4"),           # rows too wide for VMEM: 4D fallback
+        ((2, 250, 700), 1, "y4"),           # rows too wide for VMEM: 4D fallback
     ],
 )
 def test_thomas_matches_scan(shape, axis, kernel):
@@ -50,6 +50,17 @@ def test_thomas_matches_scan(shape, axis, kernel):
     assert got is not None, f"expected the {kernel} kernel to engage"
     tol = dict(rtol=5e-12, atol=5e-13) if DT == jnp.float64 else dict(rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), **tol)
+
+
+def test_thomas_declines_overlong_solve_axis():
+    """A solve axis so long that even the minimum tile busts the VMEM budget must
+    DECLINE (None -> scan path), not clamp to the floor and fail at Mosaic
+    compile (round-2 ADVICE #1)."""
+    rhs, dinv, l = _problem([2, 700, 700], 1)
+    assert thomas_solve(rhs, dinv, l, axis=1, interpret=True) is None
+    # the dispatcher must still produce the right answer via the scan path
+    got = tridiag_solve(rhs, dinv, l, axis=1)
+    assert got.shape == rhs.shape
 
 
 def test_thomas_broadcast_trailing_mode():
