@@ -231,6 +231,18 @@ def solve_A_dir(
 
 
 
+def ctx_face(ctx: Dict, name: str, grid_axis: int):
+    """Fetch a face-shaped context array, re-joining the body + seam split that
+    ``parallel.shard_context`` applies along a cut direction (body sharded over
+    the device mesh, 1-wide seam replicated — per-device context memory then
+    scales ~1/n_devices).  Unsplit arrays pass through untouched."""
+    a = ctx[name]
+    seam = ctx.get(name + "__seam")
+    if seam is None:
+        return a
+    return jnp.concatenate([a, seam], axis=a.ndim - 3 + grid_axis)
+
+
 def cyc_args(ctx: Dict, key: str):
     """Sherman-Morrison bundle for a periodic direction, or None."""
     wt = ctx.get(f"cyc_wt_{key}")
@@ -247,9 +259,9 @@ def solve_A(fes: FESpace, ctx: Dict, rhs_by_dir, a_mode: str):
         F, W = solve_A_dir(
             fes,
             di,
-            ctx[f"tri_dinv_{key}"],
+            ctx_face(ctx, f"tri_dinv_{key}", di.axis),
             ctx.get(f"tri_l_{key}"),
-            ctx[f"mask_{key}"],
+            ctx_face(ctx, f"mask_{key}", di.axis),
             ctx[f"alpha_{key}"],
             rF,
             rW,
@@ -303,7 +315,7 @@ def _fused_sharded(sh, acc, v, scale, dm, lf, axis, bx0, bx1, interpret=False):
     )(acc, v, scale, dm, lf)
 
 
-def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str):
+def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
     """S v = C v + sum_d B_d A_d^{-1} B_d^T v   (matrix-free Schur complement).
 
     Mirrors the reference's implicit SchurProduct (solvers.cpp:535-547) but with an
@@ -314,13 +326,16 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str):
     On the RT0-P0 exact path each direction goes through ONE fused Pallas kernel
     (B^T + Thomas + B in VMEM, ops/pallas_fused.py) when a kernel fits; the
     composable unfused ops below are the fallback (CPU, f64, sharding, periodic,
-    higher order).
+    higher order).  ``fused=False`` forces the unfused ops — used when the matvec
+    runs under an outer vmap (ops/direct.dense_schur_group), where the aliased
+    pallas_call's batching behavior is not exercised by the CPU suite.
     """
     import os
 
     out = ctx["C"] * v
     use_fused = (
-        a_mode == "exact"
+        fused
+        and a_mode == "exact"
         and fes.et.k == 0
         and fes.m == 0
         and os.environ.get("NEUTFEM_PALLAS", "1") != "0"
@@ -335,12 +350,38 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str):
     for di in fes.dirs:
         key = f"d{di.d}"
         if use_fused and f"cyc_wt_{key}" not in ctx and f"scale_fused_{key}" in ctx:
-            from .pallas_fused import fused_schur_dir
+            from .pallas_fused import (
+                fused_schur_dir,
+                fused_schur_x_pre,
+                fused_schur_y_pre,
+            )
 
-            dm = jnp.expand_dims(ctx[f"tri_dinvm_{key}"], -4)
-            lf = jnp.expand_dims(ctx[f"tri_l_{key}"], -4)
             bx0 = float(di.BX[0, 0, 0])
             bx1 = float(di.BX[1, 0, 0])
+            if sh is None and f"tri_xT_dinvm_{key}" in ctx:
+                # x direction with pre-transposed solve-constant operands: the
+                # kernel only transposes v/out (declines to the broadcast kernel
+                # for batched group layouts or small meshes)
+                res = fused_schur_x_pre(
+                    out, v, ctx[f"fusedxT_scale_{key}"],
+                    ctx[f"tri_xT_dinvm_{key}"], ctx[f"tri_xT_l_{key}"],
+                    bx0, bx1,
+                )
+                if res is not None:
+                    out = res
+                    continue
+            if sh is None and f"tri_yT_dinvm_{key}" in ctx:
+                # y direction with solve-axis-major staged operands
+                res = fused_schur_y_pre(
+                    out, v, ctx[f"fusedyT_scale_{key}"],
+                    ctx[f"tri_yT_dinvm_{key}"], ctx[f"tri_yT_l_{key}"],
+                    bx0, bx1,
+                )
+                if res is not None:
+                    out = res
+                    continue
+            dm = jnp.expand_dims(ctx[f"tri_dinvm_{key}"], -4)
+            lf = jnp.expand_dims(ctx[f"tri_l_{key}"], -4)
             if sh is None:
                 res = fused_schur_dir(
                     out, v, ctx[f"scale_fused_{key}"], dm, lf, di.axis - 3,
@@ -361,9 +402,9 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str):
         F, W = solve_A_dir(
             fes,
             di,
-            ctx[f"tri_dinv_{key}"],
+            ctx_face(ctx, f"tri_dinv_{key}", di.axis),
             ctx.get(f"tri_l_{key}"),
-            ctx[f"mask_{key}"],
+            ctx_face(ctx, f"mask_{key}", di.axis),
             ctx[f"alpha_{key}"],
             rF,
             rW,

@@ -46,7 +46,11 @@ def dense_schur_group(fes, ctxg: Dict, a_mode: str):
     eye = jnp.eye(n, dtype=dtype)
 
     def col(e):
-        return schur_matvec(fes, ctxg, e.reshape(shape), a_mode=a_mode).reshape(-1)
+        # fused=False: keep the aliased fused pallas_call out of the vmap — the
+        # vmapped batching rule for input_output_aliases is untested on hardware
+        # (round-2 ADVICE #2); the unfused ops are plenty for n_phi <= 4096.
+        return schur_matvec(fes, ctxg, e.reshape(shape), a_mode=a_mode,
+                            fused=False).reshape(-1)
 
     S = jax.vmap(col)(eye)  # row i = S e_i ; S symmetric
     return 0.5 * (S + S.T)  # enforce exact symmetry for the Cholesky

@@ -37,7 +37,7 @@ from .accel import (
 )
 from .cmfd import cmfd_correction
 from .fespace import FESpace
-from .krylov import bicgstab, pcg
+from .krylov import bicgstab, pcg, pcg_fused
 from .ops.apply import (
     J_to_public,
     apply_B_dir,
@@ -172,7 +172,16 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
         )
     sdi = jnp.sqrt(ctxg["precond_inv"])  # D^-1/2
     matvec = lambda y: sdi * schur_matvec(fes, ctxg, y * sdi, a_mode=opts.a_mode)
-    solver = pcg if opts.inner_solver == "cg" else bicgstab
+    if opts.inner_solver == "cg":
+        # Chronopoulos-Gear fused-reduction CG by default: one reduction kernel
+        # per iteration instead of three (~20% of device time at the 988k bench
+        # was CG dot products, round-2 trace).  NEUTFEM_CGCG=0 reverts to the
+        # textbook loop.
+        import os as _os
+
+        solver = pcg_fused if _os.environ.get("NEUTFEM_CGCG", "1") != "0" else pcg
+    else:
+        solver = bicgstab
     precond = None
     pc_mode = opts.inner_precond
     if pc_mode == "auto":
@@ -294,15 +303,17 @@ def compute_current(fes: FESpace, ctx: Dict, phi, a_mode: str = "exact"):
     phi and the returned J use the INTERNAL mode-first layout (ops/apply.py header);
     convert with J_to_public for the reference-shaped trailing-mode layout."""
     J = {}
+    from .ops.apply import ctx_face
+
     for di in fes.dirs:
         key = f"d{di.d}"
         rF, rW = apply_BT_dir(fes, di, phi)
         F, W = solve_A_dir(
             fes,
             di,
-            ctx[f"tri_dinv_{key}"],
+            ctx_face(ctx, f"tri_dinv_{key}", di.axis),
             ctx.get(f"tri_l_{key}"),
-            ctx[f"mask_{key}"],
+            ctx_face(ctx, f"mask_{key}", di.axis),
             ctx[f"alpha_{key}"],
             rF,
             rW,
@@ -354,7 +365,7 @@ def power_iteration(
     rhs_w = ctx["nsf"] if adjoint else ctx["chi"]  # group-row weight of the fission rhs
 
     def outer_body(carry):
-        phi, keff, it, _, _, cheb, ands, inner_tot, _, _ = carry
+        phi, keff, it, _, _, cheb, ands, inner_tot, _, _, hist = carry
         phi_old = phi
 
         total_fiss = _fission_source(ctx, phi, adjoint)
@@ -464,11 +475,22 @@ def power_iteration(
             lax.cond(it % opts.log_every == 0, _pr, lambda a: 0,
                      (it, keff, diff_k, diff_flux, inner_iters))
 
+        # Per-iteration history buffer (k, dk, dphi, inner iters): the axon-tunneled
+        # TPU has no host-callback support, so the reference's live console line
+        # (NeutFEM.cpp:1791-1796) is reproduced POST-solve from this fixed-size
+        # carry array (printed by the compat layer at VERBOSE).
+        hist = lax.dynamic_update_slice(
+            hist,
+            jnp.stack([keff, diff_k, diff_flux,
+                       inner_iters.astype(dtype)])[None],
+            (it, jnp.zeros_like(it)),
+        )
+
         return (phi, keff, it + 1, diff_k, diff_flux, cheb, ands,
-                inner_tot + inner_iters, last_inner, last_resid)
+                inner_tot + inner_iters, last_inner, last_resid, hist)
 
     def outer_cond(carry):
-        _, _, it, diff_k, diff_flux, _, _, _, _, _ = carry
+        _, _, it, diff_k, diff_flux, _, _, _, _, _, _ = carry
         not_conv = jnp.logical_or(diff_k >= opts.tol_keff, diff_flux >= opts.tol_flux)
         # always run at least 2 iterations (k is not updated at it=0)
         return jnp.logical_and(it < opts.max_outer, jnp.logical_or(not_conv, it < 2))
@@ -485,10 +507,10 @@ def power_iteration(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0.0, dtype),
+        jnp.zeros((opts.max_outer, 4), dtype),
     )
-    phi, keff, it, diff_k, diff_flux, _, _, inner_tot, last_inner, last_resid = (
-        lax.while_loop(outer_cond, outer_body, carry0)
-    )
+    (phi, keff, it, diff_k, diff_flux, _, _, inner_tot, last_inner, last_resid,
+     hist) = lax.while_loop(outer_cond, outer_body, carry0)
 
     J = compute_current(fes, ctx, phi, a_mode=opts.a_mode)
     return {
@@ -503,6 +525,9 @@ def power_iteration(
         "last_inner_residual": last_resid,
         "diff_k": diff_k,
         "diff_flux": diff_flux,
+        # (max_outer, 4) per-outer history [k, dk, dphi, inner iters]; rows past
+        # outer_iterations are zero.  Basis of the post-solve VERBOSE table.
+        "history": hist,
     }
 
 
