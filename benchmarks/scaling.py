@@ -71,6 +71,11 @@ def main():
     prev = None
     for tok in args.meshes.split(","):
         parts = [int(p) for p in tok.split("x")]
+        if len(parts) > 2 and parts[1] != parts[0]:
+            raise SystemExit(
+                f"--meshes token {tok!r}: the horizontal subdivision must be square "
+                f"(NxNxNZ, got {parts[0]}x{parts[1]} in-plane)"
+            )
         n, nz = parts[0], (parts[2] if len(parts) > 2 else parts[0])
         row = run_one(n, nz)
         if prev is not None and row["s_per_outer"] > 0 and prev["s_per_outer"] > 0:

@@ -224,6 +224,7 @@ class NeutFEM:
 
         self._bcs = BCSpec()
         self._solver_type = LinearSolverType.BICGSTAB  # reference default (NeutFEM.cpp:126)
+        self._resolved_solver_kind = None  # per-solve cache (see _inner_solver)
         self._tol_keff = 1e-5
         self._tol_flux = 1e-5
         self._tol_l2 = 1e-5
@@ -285,7 +286,14 @@ class NeutFEM:
 
     def _inner_solver(self) -> str:
         """Resolve the LinearSolverType to an inner-solver kind, applying the
-        dense-direct size gate (reference explicit-Schur path, solvers.cpp:114-124)."""
+        dense-direct size gate (reference explicit-Schur path, solvers.cpp:114-124).
+
+        The resolution is cached until the next solve entry / set_linear_solver so
+        that _ctx (which attaches dense factors) and _opts (which selects the
+        solver) always agree even if NEUTFEM_DIRECT_MAX_NPHI changes mid-solve
+        (round-2 ADVICE: a disagreement would KeyError on schur_chol inside jit)."""
+        if self._resolved_solver_kind is not None:
+            return self._resolved_solver_kind
         kind = _SOLVER_KIND[self._solver_type]
         if kind == "direct":
             from neutfem_tpu.ops.direct import DIRECT_MAX_NPHI
@@ -299,7 +307,8 @@ class NeutFEM:
                     "NEUTFEM_DIRECT_MAX_NPHI to override)",
                     RuntimeWarning,
                 )
-                return "cg"
+                kind = "cg"
+        self._resolved_solver_kind = kind
         return kind
 
     def _opts(self, a_mode: str, use_cmfd: bool = False,
@@ -369,6 +378,7 @@ class NeutFEM:
 
     def set_linear_solver(self, solver_type):
         self._solver_type = LinearSolverType(int(solver_type))
+        self._resolved_solver_kind = None
 
     def set_tol(self, tol_keff=1e-5, tol_flux=1e-5, tol_L2=1e-5, max_outer=200,
                 max_inner=1000):
@@ -456,6 +466,29 @@ class NeutFEM:
                 "and solver flags",
                 RuntimeWarning, stacklevel=3,
             )
+
+    def _store_history(self, res, opts) -> None:
+        """Keep the per-outer (k, dk, dphi, inner iters) table and, at VERBOSE on
+        backends without host callbacks (the axon-tunneled TPU), print the
+        reference's per-iteration console lines post-solve (NeutFEM.cpp:1791-1796
+        prints every 5 outers live; live printing stays on where jax.debug.print
+        works — opts.log_every > 0 — so nothing is printed twice)."""
+        hist = res.get("history")
+        if hist is None:
+            return
+        n = int(res["outer_iterations"])
+        self._last_history = np.asarray(hist)[:n]
+        if self._verbosity >= VerbosityLevel.VERBOSE and opts.log_every == 0:
+            for i in range(0, n, 5):
+                k, dk, dphi, inner = self._last_history[i]
+                print(f"  It {i} : k = {k:.8f}  dk = {dk:.2e}  dphi = {dphi:.2e}"
+                      f"  (inner {int(inner)})")
+
+    def get_iteration_history(self) -> np.ndarray:
+        """(n_outer, 4) array of per-outer-iteration [k, dk, dphi, inner iters]
+        from the last SolveKeff/SolveAdjoint (empty before any solve).  New scope:
+        the reference only ever printed these values (NeutFEM.cpp:1791-1796)."""
+        return getattr(self, "_last_history", np.zeros((0, 4)))
 
     # -- checkpoint / resume (new scope; the reference has none — SURVEY §5) --
 
@@ -564,6 +597,7 @@ class NeutFEM:
                 "refinement and is NOT a solution of the diffusion problem",
                 RuntimeWarning, stacklevel=2,
             )
+        self._resolved_solver_kind = None  # re-resolve the direct-solver gate per solve
         ctx = self._ctx(a_mode)
         opts = self._opts(a_mode, use_cmfd=use_cmfd, diag_elementwise=diag_elementwise)
 
@@ -588,6 +622,7 @@ class NeutFEM:
         self._last_inners = int(res["inner_iterations"])
         self._last_schur_iterations = int(res["last_inner_iterations"])
         self._last_schur_residual = float(res["last_inner_residual"])
+        self._store_history(res, opts)
         self._check_health(keff, res["phi"], "SolveKeff")
         self._log(
             VerbosityLevel.NORMAL,
@@ -600,6 +635,7 @@ class NeutFEM:
 
     def SolveAdjoint(self, normalize_to_direct: bool = True,
                      use_direct_keff: bool = True) -> float:
+        self._resolved_solver_kind = None  # re-resolve the direct-solver gate per solve
         ctx = self._ctx("exact")
         opts = self._opts("exact")
         fixed = self._keff if (use_direct_keff and self._keff) else None
@@ -622,6 +658,7 @@ class NeutFEM:
         self._keff_adj = keff_adj
         self._last_schur_iterations = int(res["last_inner_iterations"])
         self._last_schur_residual = float(res["last_inner_residual"])
+        self._store_history(res, opts)
         self._check_health(keff_adj, phi_adj, "SolveAdjoint")
         self._log(
             VerbosityLevel.NORMAL,
@@ -633,6 +670,7 @@ class NeutFEM:
     def SolveSubcritical(self) -> float:
         """Fixed-source subcritical solve (wrapper.cpp:700-715 — unimplemented in the
         reference).  Returns the amplification factor M."""
+        self._resolved_solver_kind = None  # re-resolve the direct-solver gate per solve
         ctx = self._ctx("exact")
         opts = self._opts("exact")
         phi0 = jnp.zeros((self._ng, *self._mesh.shape, self._fes.P), dtype=self._dtype)
