@@ -443,13 +443,16 @@ class NeutFEM:
             return contextlib.nullcontext()
         return jax.profiler.trace(trace_dir)
 
-    def _check_health(self, keff: float, phi, what: str):
+    def _check_health(self, keff: float, finite, what: str):
         """Numerical guard: the reference throws on singular factorizations
         (solvers.cpp:164-167); here divergence shows up as non-finite or absurd
-        results — warn loudly instead of returning garbage."""
+        results — warn loudly instead of returning garbage.  ``finite`` is either
+        a bool (precomputed on device inside the solve) or a flux array."""
         import warnings
 
-        finite = bool(jnp.isfinite(phi).all()) and np.isfinite(keff)
+        if not isinstance(finite, (bool, np.bool_)):
+            finite = bool(jnp.isfinite(finite).all())
+        finite = finite and np.isfinite(keff)
         if not finite:
             warnings.warn(
                 f"{what} produced non-finite results (keff={keff}); the system may "
@@ -467,16 +470,28 @@ class NeutFEM:
                 RuntimeWarning, stacklevel=3,
             )
 
-    def _store_history(self, res, opts) -> None:
+    _SCALAR_KEYS = ("keff", "outer_iterations", "inner_iterations",
+                    "last_inner_iterations", "last_inner_residual",
+                    "diff_k", "diff_flux", "history", "finite")
+
+    @classmethod
+    def _fetch_scalars(cls, res) -> dict:
+        """All post-solve diagnostics in ONE device->host transfer.  Each
+        separate transfer through the axon tunnel costs ~30 ms RTT; the old
+        per-scalar float()/int() calls added ~235 ms per solve — more than the
+        988k-cell solve itself (measured round 3)."""
+        return jax.device_get({k: res[k] for k in cls._SCALAR_KEYS if k in res})
+
+    def _store_history(self, host, opts) -> None:
         """Keep the per-outer (k, dk, dphi, inner iters) table and, at VERBOSE on
         backends without host callbacks (the axon-tunneled TPU), print the
         reference's per-iteration console lines post-solve (NeutFEM.cpp:1791-1796
         prints every 5 outers live; live printing stays on where jax.debug.print
         works — opts.log_every > 0 — so nothing is printed twice)."""
-        hist = res.get("history")
+        hist = host.get("history")
         if hist is None:
             return
-        n = int(res["outer_iterations"])
+        n = int(host["outer_iterations"])
         self._last_history = np.asarray(hist)[:n]
         if self._verbosity >= VerbosityLevel.VERBOSE and opts.log_every == 0:
             for i in range(0, n, 5):
@@ -614,22 +629,23 @@ class NeutFEM:
         t0 = time.time()
         with self._maybe_profile("SolveKeff"):
             res = self._solver_fn(opts, False, False)(ctx, phi0, keff0)
-            keff = float(res["keff"])
+            host = self._fetch_scalars(res)
+        keff = float(host["keff"])
         self._phi = res["phi"]
         self._J = res["J"]
         self._keff = keff
-        self._last_outers = int(res["outer_iterations"])
-        self._last_inners = int(res["inner_iterations"])
-        self._last_schur_iterations = int(res["last_inner_iterations"])
-        self._last_schur_residual = float(res["last_inner_residual"])
-        self._store_history(res, opts)
-        self._check_health(keff, res["phi"], "SolveKeff")
+        self._last_outers = int(host["outer_iterations"])
+        self._last_inners = int(host["inner_iterations"])
+        self._last_schur_iterations = int(host["last_inner_iterations"])
+        self._last_schur_residual = float(host["last_inner_residual"])
+        self._store_history(host, opts)
+        self._check_health(keff, bool(host["finite"]), "SolveKeff")
         self._log(
             VerbosityLevel.NORMAL,
-            f"SolveKeff: k-eff = {keff:.6f} in {int(res['outer_iterations'])} outer / "
-            f"{int(res['inner_iterations'])} inner iterations "
-            f"({time.time() - t0:.3f}s, dk={float(res['diff_k']):.2e}, "
-            f"dphi={float(res['diff_flux']):.2e})",
+            f"SolveKeff: k-eff = {keff:.6f} in {self._last_outers} outer / "
+            f"{self._last_inners} inner iterations "
+            f"({time.time() - t0:.3f}s, dk={float(host['diff_k']):.2e}, "
+            f"dphi={float(host['diff_flux']):.2e})",
         )
         return keff
 
@@ -644,7 +660,8 @@ class NeutFEM:
 
         t0 = time.time()
         res = self._solver_fn(opts, True, fixed is not None)(ctx, phi0, keff0)
-        keff_adj = float(res["keff"]) if fixed is None else float(fixed)
+        host = self._fetch_scalars(res)
+        keff_adj = float(host["keff"]) if fixed is None else float(fixed)
         phi_adj = res["phi"]
 
         if normalize_to_direct and self._phi is not None:
@@ -656,14 +673,14 @@ class NeutFEM:
         self._phi_adj = phi_adj
         self._J_adj = res["J"]
         self._keff_adj = keff_adj
-        self._last_schur_iterations = int(res["last_inner_iterations"])
-        self._last_schur_residual = float(res["last_inner_residual"])
-        self._store_history(res, opts)
-        self._check_health(keff_adj, phi_adj, "SolveAdjoint")
+        self._last_schur_iterations = int(host["last_inner_iterations"])
+        self._last_schur_residual = float(host["last_inner_residual"])
+        self._store_history(host, opts)
+        self._check_health(keff_adj, bool(host["finite"]), "SolveAdjoint")
         self._log(
             VerbosityLevel.NORMAL,
             f"SolveAdjoint: k-eff(adj) = {keff_adj:.6f} in "
-            f"{int(res['outer_iterations'])} outers ({time.time() - t0:.3f}s)",
+            f"{int(host['outer_iterations'])} outers ({time.time() - t0:.3f}s)",
         )
         return keff_adj
 
@@ -676,12 +693,14 @@ class NeutFEM:
         phi0 = jnp.zeros((self._ng, *self._mesh.shape, self._fes.P), dtype=self._dtype)
         res = solve_subcritical(self._fes, self._ng, opts, ctx, phi0,
                                 keff=self._keff or 1.0)
+        host = jax.device_get({"amplification": res["amplification"],
+                               "finite": res["finite"]})
         self._phi = res["phi"]
         self._J = res["J"]
-        amp = float(res["amplification"])
+        amp = float(host["amplification"])
         import warnings
 
-        if not (np.isfinite(amp) and bool(jnp.isfinite(res["phi"]).all())) or amp > 1e6:
+        if not (np.isfinite(amp) and bool(host["finite"])) or amp > 1e6:
             warnings.warn(
                 f"SolveSubcritical diverged (amplification M = {amp:.3e}): the system "
                 "is supercritical (k >= 1) — the fixed-source problem has no bounded "

@@ -18,7 +18,9 @@ Two CG implementations:
   three reductions cost ~20% of device time at the 988k-cell bench (round-2 trace);
   this removes two of the three reduction kernels per iteration.  Same fixed point;
   the alpha recurrence is algebraically identical in exact arithmetic (Chronopoulos &
-  Gear 1989).  ``group_solve`` uses it by default (NEUTFEM_CGCG=0 reverts).
+  Gear 1989).  Opt-in via NEUTFEM_CGCG=1: on the real chip the two extra axpys
+  cost more HBM traffic than the saved reduction kernels save in latency
+  (48.9 vs 43.9 ms/outer at 2.6M cells — see group_solve's selection note).
 """
 
 from __future__ import annotations

@@ -358,7 +358,8 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
 
             bx0 = float(di.BX[0, 0, 0])
             bx1 = float(di.BX[1, 0, 0])
-            if sh is None and f"tri_xT_dinvm_{key}" in ctx:
+            prestaged = os.environ.get("NEUTFEM_PRESTAGED", "1") != "0"
+            if prestaged and sh is None and f"tri_xT_dinvm_{key}" in ctx:
                 # x direction with pre-transposed solve-constant operands: the
                 # kernel only transposes v/out (declines to the broadcast kernel
                 # for batched group layouts or small meshes)
@@ -370,7 +371,7 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
                 if res is not None:
                     out = res
                     continue
-            if sh is None and f"tri_yT_dinvm_{key}" in ctx:
+            if prestaged and sh is None and f"tri_yT_dinvm_{key}" in ctx:
                 # y direction with solve-axis-major staged operands
                 res = fused_schur_y_pre(
                     out, v, ctx[f"fusedyT_scale_{key}"],

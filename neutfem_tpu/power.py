@@ -173,13 +173,16 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
     sdi = jnp.sqrt(ctxg["precond_inv"])  # D^-1/2
     matvec = lambda y: sdi * schur_matvec(fes, ctxg, y * sdi, a_mode=opts.a_mode)
     if opts.inner_solver == "cg":
-        # Chronopoulos-Gear fused-reduction CG by default: one reduction kernel
-        # per iteration instead of three (~20% of device time at the 988k bench
-        # was CG dot products, round-2 trace).  NEUTFEM_CGCG=0 reverts to the
-        # textbook loop.
+        # Textbook PCG by default.  The Chronopoulos-Gear fused-reduction variant
+        # (NEUTFEM_CGCG=1) was built for the round-2 lead ("CG dot products are
+        # ~20% of device time") but LOSES on the real chip: its two extra axpys
+        # and two extra carried vectors add more HBM traffic than the two saved
+        # reduction kernels — measured 48.9 vs 43.9 ms/outer at 2.6M cells and
+        # 7.1 vs 6.9 at 988k (round-3 bisect, /tmp/bisect26.log).  The reductions
+        # were latency, not bandwidth.
         import os as _os
 
-        solver = pcg_fused if _os.environ.get("NEUTFEM_CGCG", "1") != "0" else pcg
+        solver = pcg_fused if _os.environ.get("NEUTFEM_CGCG", "0") == "1" else pcg
     else:
         solver = bicgstab
     precond = None
@@ -528,6 +531,11 @@ def power_iteration(
         # (max_outer, 4) per-outer history [k, dk, dphi, inner iters]; rows past
         # outer_iterations are zero.  Basis of the post-solve VERBOSE table.
         "history": hist,
+        # health flag computed ON DEVICE so the compat layer's post-solve check
+        # costs no extra dispatch: each separate device->host round trip through
+        # the axon tunnel is ~30 ms — the old per-scalar transfers added ~235 ms
+        # per solve, more than half of bench.py's reported per-solve wall.
+        "finite": jnp.isfinite(keff) & jnp.all(jnp.isfinite(phi)),
     }
 
 
@@ -598,6 +606,8 @@ def fixed_source_solve(
         "outer_iterations": it,
         "inner_iterations": inner_tot,
         "diff_flux": diff,
+        # on-device health flag — see power_iteration's note on axon transfer cost
+        "finite": jnp.all(jnp.isfinite(phi)),
     }
 
 
