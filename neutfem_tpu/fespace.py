@@ -59,6 +59,16 @@ class DirectionInfo:
     face_shape: Tuple[int, ...]  # spatial shape of face grid (no ng, no T)
     # flux mode p -> transverse mode index t (always valid since m <= k)
     p_to_t: np.ndarray          # (P,)
+    # Condensed-matvec constants (ops/apply.py schur_matvec, k >= 1): the
+    # per-CG-iteration bubble algebra of solve_A_dir folds EXACTLY into
+    #   BXc[f,p,t] = BX[f,p,t] - sum_b G[b,f] BX[2+b,p,t]        (both the rhs
+    #     condensation correction and the W back-substitution — symmetric), and
+    #   Qbub[p,q]  = sum_{t,b,c} BX[2+b,p,t] Mbb_inv[b,c] BX[2+c,q,t] / m_t
+    #     applied as (Qbub v) / alpha_d,
+    # so the hot path never materializes the bubble arrays.  BXc == BX[:2] and
+    # Qbub is None for k = 0.
+    BXc: np.ndarray             # (2, P, T)
+    Qbub: np.ndarray            # (P, P) or None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,6 +153,12 @@ def make_fespace(mesh: CartesianMesh, k: int, m: int) -> FESpace:
                 tr_mass *= et.leg_mass[int(modes[p, a])]
             BX[:, p, p_to_t[p]] = et.D1[pd, :] * tr_mass
 
+        if et.nbub > 0:
+            BXc = BX[:2] - np.einsum("bf,bpt->fpt", et.G, BX[2:])
+            Qbub = np.einsum("bpt,bc,cqt,t->pq", BX[2:], et.Mbb_inv, BX[2:], 1.0 / m_t)
+        else:
+            BXc, Qbub = BX[:2], None
+
         shape = list(mesh.shape)
         shape[GRID_AXIS[d]] += 1
         dirs.append(
@@ -154,6 +170,8 @@ def make_fespace(mesh: CartesianMesh, k: int, m: int) -> FESpace:
                 BX=BX,
                 face_shape=tuple(shape),
                 p_to_t=p_to_t,
+                BXc=BXc,
+                Qbub=Qbub,
             )
         )
 

@@ -102,6 +102,43 @@ def apply_BT_dir(fes: FESpace, di: DirectionInfo, phi):
     return rF, rW
 
 
+def _face_rhs(di: DirectionInfo, phi, BXt):
+    """Face rhs (..., T, faces) from flux with an arbitrary (2, P, T) pairing
+    tensor (BX[:2] for the raw B^T rows, BXc for the condensed matvec).
+
+    Built as slice/concat, NOT the pad+add of apply_BT_dir: XLA pattern-matches
+    dot + shifted pad/add into a window-2 convolution and fuses the downstream
+    mask/m_t scaling into it; for the y direction that conv fusion emitted at
+    ~18 GB/s effective — 3.66 ms/call, 52% of RT1 device time (round-3 trace,
+    fusion.623/669).  The concat form blocks the conv rewrite."""
+    ax = di.axis - 3
+    if BXt.shape[1] == 1 and BXt.shape[2] == 1:
+        c0 = phi * BXt[0, 0, 0]
+        c1 = phi * BXt[1, 0, 0]
+    else:
+        c0 = jnp.einsum("...pzyx,pt->...tzyx", phi, BXt[0])
+        c1 = jnp.einsum("...pzyx,pt->...tzyx", phi, BXt[1])
+    axn = ax % c0.ndim
+    n = c0.shape[axn]
+    first = lax.slice_in_dim(c0, 0, 1, axis=axn)
+    mid = (lax.slice_in_dim(c0, 1, n, axis=axn)
+           + lax.slice_in_dim(c1, 0, n - 1, axis=axn))
+    last = lax.slice_in_dim(c1, n - 1, n, axis=axn)
+    return jnp.concatenate([first, mid, last], axis=axn)
+
+
+def _face_out(di: DirectionInfo, F, BXt):
+    """Flux-shaped contribution of face values F with pairing tensor BXt."""
+    ax = di.axis - 3
+    n = F.shape[ax]
+    F_L = lax.slice_in_dim(F, 0, n - 1, axis=ax)
+    F_R = lax.slice_in_dim(F, 1, n, axis=ax)
+    if BXt.shape[1] == 1 and BXt.shape[2] == 1:
+        return F_L * BXt[0, 0, 0] + F_R * BXt[1, 0, 0]
+    return (jnp.einsum("...tzyx,pt->...pzyx", F_L, BXt[0])
+            + jnp.einsum("...tzyx,pt->...pzyx", F_R, BXt[1]))
+
+
 def apply_B_dir(fes: FESpace, di: DirectionInfo, F, W):
     """B_d J: flux-shaped (..., P, sp) contribution from direction d."""
     BX = jnp.asarray(di.BX, dtype=F.dtype)
@@ -347,8 +384,38 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
 
         use_fused = pallas_available()
         sh = current_sharding()
+    # Higher-order (k >= 1) condensed path: the bubble algebra of
+    # apply_BT/solve_A/apply_B folds EXACTLY into the constants
+    # DirectionInfo.BXc / Qbub (see fespace.py), so each direction costs one
+    # face-rhs einsum pair, one masked tridiag solve, one face-out einsum pair
+    # and one P x P block product — no bubble intermediates in HBM.  The
+    # round-3 RT1 trace showed 68% of device time in the unfused chain's
+    # elementwise/stencil fusions; this halves its HBM passes.
+    use_condensed = (
+        fes.et.nbub > 0 and os.environ.get("NEUTFEM_CONDENSED", "1") != "0"
+    )
     for di in fes.dirs:
         key = f"d{di.d}"
+        if use_condensed:
+            BXc = jnp.asarray(di.BXc, dtype=v.dtype)
+            rF = _face_rhs(di, v, BXc)
+            F, _ = solve_A_dir(
+                fes, di,
+                ctx_face(ctx, f"tri_dinv_{key}", di.axis),
+                ctx.get(f"tri_l_{key}"),
+                ctx_face(ctx, f"mask_{key}", di.axis),
+                ctx[f"alpha_{key}"],
+                rF, None, a_mode,
+                cyc=cyc_args(ctx, key),
+            )
+            out = out + _face_out(di, F, BXc)
+            alpha_e = jnp.expand_dims(ctx[f"alpha_{key}"], -4)
+            Q = jnp.asarray(di.Qbub, dtype=v.dtype)
+            if fes.P == 1:
+                out = out + v * (Q[0, 0] / alpha_e)
+            else:
+                out = out + jnp.einsum("...qzyx,pq->...pzyx", v, Q) / alpha_e
+            continue
         if use_fused and f"cyc_wt_{key}" not in ctx and f"scale_fused_{key}" in ctx:
             from .pallas_fused import (
                 fused_schur_dir,
