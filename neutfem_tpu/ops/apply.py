@@ -394,9 +394,38 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
     use_condensed = (
         fes.et.nbub > 0 and os.environ.get("NEUTFEM_CONDENSED", "1") != "0"
     )
+    use_ho_kernel = (
+        use_condensed
+        and fused
+        and a_mode == "exact"
+        and os.environ.get("NEUTFEM_PALLAS", "1") != "0"
+    )
+    if use_ho_kernel:
+        from ..shardctx import current_sharding
+        from .pallas_tridiag import pallas_available
+
+        use_ho_kernel = pallas_available() and current_sharding() is None
     for di in fes.dirs:
         key = f"d{di.d}"
         if use_condensed:
+            if (use_ho_kernel and f"cyc_wt_{key}" not in ctx
+                    and f"tri_dinvm_{key}" in ctx):
+                from .pallas_fused_ho import fused_ho_dir, ho_coeff_tables
+
+                if di.axis == 1 and f"tri_hoyT_dinvm_{key}" in ctx:
+                    ops = (ctx[f"hoyT_mask_{key}"], ctx[f"tri_hoyT_dinvm_{key}"],
+                           ctx[f"tri_hoyT_l_{key}"], ctx[f"tri_hoyT_alpha_{key}"])
+                elif di.axis == 2 and f"tri_hoxT_dinvm_{key}" in ctx:
+                    ops = (ctx[f"hoxT_mask_{key}"], ctx[f"tri_hoxT_dinvm_{key}"],
+                           ctx[f"tri_hoxT_l_{key}"], ctx[f"tri_hoxT_alpha_{key}"])
+                else:
+                    ops = (ctx[f"mask_{key}"], ctx[f"tri_dinvm_{key}"],
+                           ctx[f"tri_l_{key}"], ctx[f"alpha_{key}"])
+                res = fused_ho_dir(fes, di, out, v, *ops,
+                                   ho_coeff_tables(fes, di))
+                if res is not None:
+                    out = res
+                    continue
             BXc = jnp.asarray(di.BXc, dtype=v.dtype)
             rF = _face_rhs(di, v, BXc)
             F, _ = solve_A_dir(

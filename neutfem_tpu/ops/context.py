@@ -294,6 +294,28 @@ def build_context(
         if l is not None:
             ctx_np[f"tri_l_{key}"] = l
         ctx_np[f"mask_{key}"] = mask
+        if et.k > 0 and l is not None:
+            # higher-order fused-kernel operands (ops/pallas_fused_ho.py):
+            # dinv*mask staged once per build (computing it per matvec call
+            # would rely on XLA's while-loop LICM to hoist it); the y/x kernels
+            # additionally take their solve-constant operands pre-staged in the
+            # layout the recurrence reads (solve-axis-major for y, transposed
+            # (n, rows) for x) — same rationale as the RT0 _pre variants.
+            dmm = dinv * mask[None]
+            ctx_np[f"tri_dinvm_{key}"] = dmm
+            if ax == 1:
+                ctx_np[f"hoyT_mask_{key}"] = np.moveaxis(mask, 1, 0)
+                ctx_np[f"tri_hoyT_dinvm_{key}"] = np.moveaxis(dmm, 2, 1)
+                ctx_np[f"tri_hoyT_l_{key}"] = np.moveaxis(l, 2, 1)
+                ctx_np[f"tri_hoyT_alpha_{key}"] = np.moveaxis(alpha, 2, 1)
+            elif ax == 2:
+                ctx_np[f"hoxT_mask_{key}"] = mask.reshape(-1, mask.shape[-1]).T
+                ctx_np[f"tri_hoxT_dinvm_{key}"] = np.swapaxes(
+                    dmm.reshape(ng, -1, dmm.shape[-1]), -1, -2)
+                ctx_np[f"tri_hoxT_l_{key}"] = np.swapaxes(
+                    l.reshape(ng, -1, l.shape[-1]), -1, -2)
+                ctx_np[f"tri_hoxT_alpha_{key}"] = np.swapaxes(
+                    alpha.reshape(ng, -1, alpha.shape[-1]), -1, -2)
         if et.k == 0 and fes.m == 0 and l is not None:
             # RT0 fused-kernel operands (ops/pallas_fused.py): the pre-masked
             # scale mask/m_t (group-independent) and dinv*mask (group-sliced)

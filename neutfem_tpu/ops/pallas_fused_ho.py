@@ -1,0 +1,449 @@
+"""Fused per-direction Schur kernels for the CONDENSED higher-order matvec.
+
+The k >= 1 condensed path (ops/apply.py: BXc face pairing + Qbub block, see
+fespace.DirectionInfo) still pays one HBM materialization per XLA op boundary:
+face-rhs einsum -> concat -> scale -> Pallas Thomas -> mask -> face-out einsums
+-> Q block product (~60 flux-plane passes per direction at RT1-P1).  These
+kernels run the whole per-(direction, transverse-mode) chain in VMEM:
+
+    rf_f   = sum_l bxs[1,l] v[l,f-1] + bxs[0,l] v[l,f]     (bxs = BXc/m_t rows)
+    z_0    = rf_0 s_0;  z_f = rf_f s_f - l_{f-1} z_{f-1}       [s = mask]
+    F_n    = z_n dm_n;  F_f = z_f dm_f - l_f F_{f+1}           [dm = dinv*mask]
+    out[l,e] = acc[l,e] + bxo[0,l] F_e + bxo[1,l] F_{e+1}
+               + (sum_l' q[l,l'] v[l',e]) / alpha_e
+
+per transverse mode t, where l runs over the K1 = m+1 longitudinal flux modes
+mapped to t.  The (t, f, l) coefficient tables bxs/bxo and the (t, l, l') Qbub
+blocks live in SMEM; the flux-mode axis is SPLIT by a free bitcast reshape of
+the leading P axis so each grid instance streams exactly its K1 mode planes
+(the flux transverse multi-index factors P = K1^3 per direction — see
+_mode_split).
+
+Scope: m == k (equal flux/current order — the benchmark configurations),
+3D meshes, a_mode == "exact", f32/bf16 on real hardware, no PERIODIC on the
+direction, single device (sharded solves keep the unfused condensed ops).
+Everything else declines to the condensed ops in apply.py.
+
+Reference counterpart: the same SchurProduct hot loop as ops/pallas_fused.py
+(/root/reference/src/solvers.cpp:535-547), at higher discretization order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_tridiag import _VMEM_BUDGET, _pad_up, _round_down
+
+__all__ = ["fused_ho_dir", "ho_coeff_tables"]
+
+
+def ho_coeff_tables(fes, di):
+    """(bxs, bxo, qt) numpy coefficient tables for direction `di`, or None when
+    the mode structure does not factor (m != k).
+
+    bxs[t, f, l] = BXc[f, p(l,t), t] / m_t[t]   (rhs side, transverse mass folded)
+    bxo[t, f, l] = BXc[f, p(l,t), t]            (output side)
+    qt[t, l, l'] = Qbub[p(l,t), p(l',t)]        (condensed bubble block per t)
+    """
+    if fes.m != fes.k or fes.et.nbub == 0:
+        return None
+    K1 = fes.m + 1
+    groups = [[] for _ in range(di.T)]
+    for p in range(fes.P):
+        groups[int(di.p_to_t[p])].append(p)
+    bxs = np.zeros((di.T, 2, K1))
+    bxo = np.zeros((di.T, 2, K1))
+    qt = np.zeros((di.T, K1, K1))
+    for t in range(di.T):
+        ps = sorted(groups[t], key=lambda p: int(fes.modes[p, di.d]))
+        if len(ps) != K1:
+            return None
+        for li, p in enumerate(ps):
+            bxo[t, :, li] = di.BXc[:, p, t]
+            bxs[t, :, li] = di.BXc[:, p, t] / di.m_t[t]
+            for lj, p2 in enumerate(ps):
+                qt[t, li, lj] = di.Qbub[p, p2]
+    return bxs, bxo, qt
+
+
+def _body_z_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
+               q_ref, out_ref, zf, *, K1):
+    """z-direction higher-order body, one transverse mode per instance.
+
+    Blocks: acc/v/out (K1, 1, 1, n, ts, tc); s/dm (n+1, ts, tc);
+    l/a (n, ts, tc); bxs/bxo (1, 2, K1) SMEM; q (1, K1, K1) SMEM;
+    scratch zf (n+1, ts, tc).  Recurrence over the solve axis (dim 3)."""
+    n = v_ref.shape[3]
+
+    rf0 = bxs_ref[0, 0, 0] * v_ref[0, 0, 0, 0]
+    for li in range(1, K1):
+        rf0 += bxs_ref[0, 0, li] * v_ref[li, 0, 0, 0]
+    zf[0] = rf0 * s_ref[0]
+
+    def fwd(f, z_prev):
+        fm = f - 1
+        rf = bxs_ref[0, 1, 0] * v_ref[0, 0, 0, fm]
+        for li in range(1, K1):
+            rf += bxs_ref[0, 1, li] * v_ref[li, 0, 0, fm]
+        fc = jnp.minimum(f, n - 1)
+        rb = bxs_ref[0, 0, 0] * v_ref[0, 0, 0, fc]
+        for li in range(1, K1):
+            rb += bxs_ref[0, 0, li] * v_ref[li, 0, 0, fc]
+        rf = rf + jnp.where(f < n, 1.0, 0.0) * rb
+        z = rf * s_ref[f] - l_ref[f - 1] * z_prev
+        zf[f] = z
+        return z
+
+    z_last = jax.lax.fori_loop(1, n + 1, fwd, zf[0])
+    f_next = z_last * dm_ref[n]
+    zf[n] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = zf[e] * dm_ref[e] - l_ref[e] * f_next
+        ainv = 1.0 / a_ref[e]
+        for li in range(K1):
+            qv = q_ref[0, li, 0] * v_ref[0, 0, 0, e]
+            for lj in range(1, K1):
+                qv += q_ref[0, li, lj] * v_ref[lj, 0, 0, e]
+            out_ref[li, 0, 0, e] = (acc_ref[li, 0, 0, e]
+                                    + bxo_ref[0, 0, li] * f_e
+                                    + bxo_ref[0, 1, li] * f_next
+                                    + qv * ainv)
+        zf[e] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
+
+
+def _body_y_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
+               q_ref, out_ref, zf, vt, ot, *, K1):
+    """y-direction higher-order body (solve axis middle), one transverse mode
+    per instance.  Blocks: acc/v/out (1, K1, 1, ts, n, tc); staged
+    s/dm (n+1, ts, tc); l/a (n, ts, tc); coefficient tables in SMEM.
+    The K1 mode planes are relayouted to solve-axis-major scratches so each
+    recurrence step reads whole (ts, tc) tiles (see _body_yT rationale)."""
+    n = v_ref.shape[4]
+    for li in range(K1):
+        vt[li] = jnp.swapaxes(v_ref[0, li, 0], 0, 1)
+
+    rf0 = bxs_ref[0, 0, 0] * vt[0, 0]
+    for li in range(1, K1):
+        rf0 += bxs_ref[0, 0, li] * vt[li, 0]
+    zf[0] = rf0 * s_ref[0]
+
+    def fwd(f, z_prev):
+        rf = bxs_ref[0, 1, 0] * vt[0, f - 1]
+        for li in range(1, K1):
+            rf += bxs_ref[0, 1, li] * vt[li, f - 1]
+        fc = jnp.minimum(f, n - 1)
+        rb = bxs_ref[0, 0, 0] * vt[0, fc]
+        for li in range(1, K1):
+            rb += bxs_ref[0, 0, li] * vt[li, fc]
+        rf = rf + jnp.where(f < n, 1.0, 0.0) * rb
+        z = rf * s_ref[f] - l_ref[f - 1] * z_prev
+        zf[f] = z
+        return z
+
+    z_last = jax.lax.fori_loop(1, n + 1, fwd, zf[0])
+    f_next = z_last * dm_ref[n]
+    zf[n] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = zf[e] * dm_ref[e] - l_ref[e] * f_next
+        ainv = 1.0 / a_ref[e]
+        for li in range(K1):
+            qv = q_ref[0, li, 0] * vt[0, e]
+            for lj in range(1, K1):
+                qv += q_ref[0, li, lj] * vt[lj, e]
+            ot[li, e] = (bxo_ref[0, 0, li] * f_e + bxo_ref[0, 1, li] * f_next
+                         + qv * ainv)
+        zf[e] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
+    for li in range(K1):
+        out_ref[0, li, 0] = acc_ref[0, li, 0] + jnp.swapaxes(ot[li], 0, 1)
+
+
+def _body_x_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
+               q_ref, out_ref, vt, zf, ot, *, K1):
+    """x-direction higher-order body (solve axis minor): wide-2D transposed
+    form.  Blocks: acc/v/out (1, 1, K1, tb, n); staged s/dm (n+1, tb);
+    l/a (n, tb).  The K1 mode planes are transposed into (n, tb) scratches so
+    the recurrence runs down sublanes (see _body_xT rationale)."""
+    n = v_ref.shape[4]
+    for li in range(K1):
+        vt[li] = v_ref[0, 0, li].T
+
+    rf0 = bxs_ref[0, 0, 0] * vt[0, 0]
+    for li in range(1, K1):
+        rf0 += bxs_ref[0, 0, li] * vt[li, 0]
+    zf[0] = rf0 * s_ref[0]
+
+    def fwd(f, z_prev):
+        rf = bxs_ref[0, 1, 0] * vt[0, f - 1]
+        for li in range(1, K1):
+            rf += bxs_ref[0, 1, li] * vt[li, f - 1]
+        fc = jnp.minimum(f, n - 1)
+        rb = bxs_ref[0, 0, 0] * vt[0, fc]
+        for li in range(1, K1):
+            rb += bxs_ref[0, 0, li] * vt[li, fc]
+        rf = rf + jnp.where(f < n, 1.0, 0.0) * rb
+        z = rf * s_ref[f] - l_ref[f - 1] * z_prev
+        zf[f] = z
+        return z
+
+    z_last = jax.lax.fori_loop(1, n + 1, fwd, zf[0])
+    f_next = z_last * dm_ref[n]
+    zf[n] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = zf[e] * dm_ref[e] - l_ref[e] * f_next
+        ainv = 1.0 / a_ref[e]
+        for li in range(K1):
+            qv = q_ref[0, li, 0] * vt[0, e]
+            for lj in range(1, K1):
+                qv += q_ref[0, li, lj] * vt[lj, e]
+            ot[li, e] = (bxo_ref[0, 0, li] * f_e + bxo_ref[0, 1, li] * f_next
+                         + qv * ainv)
+        zf[e] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
+    for li in range(K1):
+        out_ref[0, 0, li] = acc_ref[0, 0, li] + ot[li].T
+
+
+def _tiles_ho(n: int, s12, dtype, K1: int):
+    """(ts, tc) for the z-direction HO kernel, or None when the VMEM budget
+    underflows the minimum tile.  Footprints: 3*K1 streamed cell planes
+    (v/acc/out, double-buffered) + 4 face planes + 1 scratch."""
+    itemsize = jnp.dtype(dtype).itemsize
+    fp = 6 * K1 + 9
+    tc = _round_down(min(256, _VMEM_BUDGET // (fp * 8 * (n + 1) * itemsize)), 128)
+    if tc == 0:
+        return None
+    tc = min(tc, _pad_up(s12[1], 128))
+    ts = _round_down(min(8, _VMEM_BUDGET // (fp * (n + 1) * tc * itemsize)), 8)
+    if ts == 0:
+        return None
+    ts = min(ts, _pad_up(s12[0], 8))
+    return ts, tc
+
+
+def _tiles_ho_y(n: int, s02, dtype, K1: int):
+    """(ts, tc) for the y-direction HO kernel.  Footprints: 3*K1 streamed cell
+    planes (double-buffered) + 4 staged face planes + 2*K1+1 scratches."""
+    itemsize = jnp.dtype(dtype).itemsize
+    fp = 6 * K1 + 4 + 2 * K1 + 1
+    tc = _round_down(min(256, _VMEM_BUDGET // (fp * 8 * (n + 1) * itemsize)), 128)
+    if tc == 0:
+        return None
+    tc = min(tc, _pad_up(s02[1], 128))
+    ts = _round_down(min(8, _VMEM_BUDGET // (fp * (n + 1) * tc * itemsize)), 8)
+    if ts == 0:
+        return None
+    ts = min(ts, _pad_up(s02[0], 8))
+    return ts, tc
+
+
+def _tb_ho_x(n: int, dtype, K1: int):
+    """Row-tile for the x-direction HO kernel, or None."""
+    itemsize = jnp.dtype(dtype).itemsize
+    npad = _pad_up(n + 1, 128)
+    fp = 6 * K1 + 8 + 2 * K1 + 1
+    tb = _round_down(min(1024, _VMEM_BUDGET // (fp * npad * itemsize)), 256)
+    return tb if tb else None
+
+
+@functools.partial(jax.jit, static_argnames=("K1", "ts", "tc", "interpret"))
+def _fused_y_ho(acc, v, sT, dmT, lT, aT, bxs, bxo, qt, K1: int, ts: int,
+                tc: int, interpret: bool = False):
+    # v/acc: (K1[tz], K1[l], K1[tx], nz, n, nx); staged ops solve-axis-major
+    # (n+1 / n+1 / n / n, nz, nx); bxs/bxo (T, 2, K1); qt (T, K1, K1)
+    G0, _, G2, S, n, C = v.shape
+    cell = pl.BlockSpec((1, K1, 1, ts, n, tc),
+                        lambda i0, i2, si, ci: (i0, 0, i2, si, 0, ci),
+                        memory_space=pltpu.VMEM)
+    face = lambda rows: pl.BlockSpec((rows, ts, tc),
+                                     lambda i0, i2, si, ci: (0, si, ci),
+                                     memory_space=pltpu.VMEM)
+    coef = lambda a, b: pl.BlockSpec((1, a, b),
+                                     lambda i0, i2, si, ci: (i2 + G2 * i0, 0, 0),
+                                     memory_space=pltpu.SMEM)
+    kern = functools.partial(_body_y_ho, K1=K1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        grid=(G0, G2, pl.cdiv(S, ts), pl.cdiv(C, tc)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 4),
+        in_specs=[cell, cell, face(n + 1), face(n + 1), face(n), face(n),
+                  coef(2, K1), coef(2, K1), coef(K1, K1)],
+        out_specs=cell,
+        scratch_shapes=[
+            pltpu.VMEM((n + 1, ts, tc), v.dtype),
+            pltpu.VMEM((K1, n, ts, tc), v.dtype),
+            pltpu.VMEM((K1, n, ts, tc), v.dtype),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, v, sT, dmT, lT, aT, bxs, bxo, qt)
+
+
+@functools.partial(jax.jit, static_argnames=("K1", "tb", "interpret"))
+def _fused_x_ho(acc, v, sT, dmT, lT, aT, bxs, bxo, qt, K1: int, tb: int,
+                interpret: bool = False):
+    # v/acc: (K1[t_high], K1[t_low], K1[l], B, n); staged ops (rows, B)
+    _, G1, _, B, n = v.shape
+    cell = pl.BlockSpec((1, 1, K1, tb, n),
+                        lambda i0, i1, b: (i0, i1, 0, b, 0),
+                        memory_space=pltpu.VMEM)
+    face = lambda rows: pl.BlockSpec((rows, tb), lambda i0, i1, b: (0, b),
+                                     memory_space=pltpu.VMEM)
+    coef = lambda a, b_: pl.BlockSpec((1, a, b_),
+                                      lambda i0, i1, b: (i1 + G1 * i0, 0, 0),
+                                      memory_space=pltpu.SMEM)
+    kern = functools.partial(_body_x_ho, K1=K1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        grid=(v.shape[0], G1, pl.cdiv(B, tb)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 3),
+        in_specs=[cell, cell, face(n + 1), face(n + 1), face(n), face(n),
+                  coef(2, K1), coef(2, K1), coef(K1, K1)],
+        out_specs=cell,
+        scratch_shapes=[
+            pltpu.VMEM((K1, n, tb), v.dtype),
+            pltpu.VMEM((n + 1, tb), v.dtype),
+            pltpu.VMEM((K1, n, tb), v.dtype),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, v, sT, dmT, lT, aT, bxs, bxo, qt)
+
+
+@functools.partial(jax.jit, static_argnames=("K1", "ts", "tc", "interpret"))
+def _fused_z_ho(acc, v, s, dm, l, alpha, bxs, bxo, qt, K1: int, ts: int,
+                tc: int, interpret: bool = False):
+    # v/acc: (K1[l], K1[ty], K1[tx], n, S, C); face ops (n+1 or n, S, C);
+    # alpha (n, S, C); bxs/bxo (T, 2, K1); qt (T, K1, K1)
+    _, G1, G2, n, S, C = v.shape
+    cell = pl.BlockSpec((K1, 1, 1, n, ts, tc),
+                        lambda i1, i2, si, ci: (0, i1, i2, 0, si, ci),
+                        memory_space=pltpu.VMEM)
+    face = lambda rows: pl.BlockSpec((rows, ts, tc),
+                                     lambda i1, i2, si, ci: (0, si, ci),
+                                     memory_space=pltpu.VMEM)
+    coef = lambda a, b: pl.BlockSpec((1, a, b),
+                                     lambda i1, i2, si, ci: (i2 + G2 * i1, 0, 0),
+                                     memory_space=pltpu.SMEM)
+    kern = functools.partial(_body_z_ho, K1=K1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        grid=(G1, G2, pl.cdiv(S, ts), pl.cdiv(C, tc)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 4),
+        in_specs=[cell, cell, face(n + 1), face(n + 1), face(n), face(n),
+                  coef(2, K1), coef(2, K1), coef(K1, K1)],
+        out_specs=cell,
+        scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), v.dtype)],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, v, s, dm, l, alpha, bxs, bxo, qt)
+
+
+def fused_ho_dir(fes, di, acc, v, mask, dinvm, l, alpha, tables,
+                 interpret: bool = False) -> Optional[jnp.ndarray]:
+    """acc + (condensed B_d A_d^{-1} B_d^T + Qbub/alpha) v for one direction of
+    a k >= 1 space, or None if no kernel fits (caller falls back to the unfused
+    condensed ops).
+
+    acc, v: internal flux (..., P, nz, ny, nx) with all dims before P of size 1.
+    For the z direction pass mask/dinvm/l/alpha in their natural layouts; for
+    y/x pass the PRE-STAGED context operands (hoyT_*/hoxT_*, ops/context.py).
+    tables: ho_coeff_tables(fes, di).
+
+    The P axis factors as (K1[pz], K1[py], K1[px]) under a free leading-axis
+    reshape (modes enumerated x-fastest), which is exactly each kernel's
+    (transverse-grid, longitudinal) block order — no mode permutation is ever
+    materialized."""
+    if tables is None:
+        return None
+    if not interpret and v.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    if v.ndim < 4 or any(s != 1 for s in v.shape[:-4]):
+        return None
+    if fes.mesh.dim != 3:
+        return None
+    K1 = fes.m + 1
+    nz, ny, nx = v.shape[-3:]
+    bxs, bxo, qt = tables
+    dt = v.dtype
+    cb = lambda a: jnp.asarray(a, dt)
+    v6 = v.reshape(K1, K1, K1, nz, ny, nx)
+    acc6 = acc.reshape(K1, K1, K1, nz, ny, nx)
+
+    if di.axis == 0:  # z: solve axis leading
+        n = nz
+        if n < 4 or nx < 64 or ny * nx < 512:
+            return None
+        tiles = _tiles_ho(n, (ny, nx), v.dtype, K1)
+        if tiles is None:
+            return None
+        out = _fused_z_ho(
+            acc6, v6,
+            jnp.broadcast_to(mask, (n + 1, ny, nx)).astype(dt),
+            jnp.broadcast_to(dinvm, (n + 1, ny, nx)).astype(dt),
+            jnp.broadcast_to(l, (n, ny, nx)).astype(dt),
+            jnp.broadcast_to(alpha, (n, ny, nx)).astype(dt),
+            cb(bxs), cb(bxo), cb(qt),
+            K1=K1, ts=tiles[0], tc=tiles[1], interpret=interpret,
+        )
+        return out.reshape(v.shape)
+
+    if di.axis == 1:  # y: staged solve-axis-major operands (ny+1, nz, nx)
+        n = ny
+        if n < 4 or nx < 64 or nz < 4 or nz * nx < 512:
+            return None
+        if mask.shape != (n + 1, nz, nx):
+            return None  # caller passed unstaged operands
+        tiles = _tiles_ho_y(n, (nz, nx), v.dtype, K1)
+        if tiles is None:
+            return None
+        out = _fused_y_ho(
+            acc6, v6, mask.astype(dt), dinvm.astype(dt), l.astype(dt),
+            alpha.astype(dt), cb(bxs), cb(bxo), cb(qt),
+            K1=K1, ts=tiles[0], tc=tiles[1], interpret=interpret,
+        )
+        return out.reshape(v.shape)
+
+    # x: wide-2D transposed form over B = nz*ny rows
+    n = nx
+    B = nz * ny
+    if n < 4 or B < 512:
+        return None
+    if mask.shape != (n + 1, B):
+        return None  # caller passed unstaged operands
+    tb = _tb_ho_x(n, v.dtype, K1)
+    if tb is None:
+        return None
+    out = _fused_x_ho(
+        acc6.reshape(K1, K1, K1, B, n), v6.reshape(K1, K1, K1, B, n),
+        mask.astype(dt), dinvm.astype(dt), l.astype(dt), alpha.astype(dt),
+        cb(bxs), cb(bxo), cb(qt),
+        K1=K1, tb=tb, interpret=interpret,
+    )
+    return out.reshape(v.shape)
