@@ -309,13 +309,27 @@ def build_context(
                 ctx_np[f"tri_hoyT_l_{key}"] = np.moveaxis(l, 2, 1)
                 ctx_np[f"tri_hoyT_alpha_{key}"] = np.moveaxis(alpha, 2, 1)
             elif ax == 2:
-                ctx_np[f"hoxT_mask_{key}"] = mask.reshape(-1, mask.shape[-1]).T
-                ctx_np[f"tri_hoxT_dinvm_{key}"] = np.swapaxes(
-                    dmm.reshape(ng, -1, dmm.shape[-1]), -1, -2)
-                ctx_np[f"tri_hoxT_l_{key}"] = np.swapaxes(
-                    l.reshape(ng, -1, l.shape[-1]), -1, -2)
-                ctx_np[f"tri_hoxT_alpha_{key}"] = np.swapaxes(
-                    alpha.reshape(ng, -1, alpha.shape[-1]), -1, -2)
+                # x staged operands in LANE-PACKED per-z layout (rows, nz*Wy)
+                # with Wy = ny padded to a lane tile: the kernel's z-slab
+                # blocks then slice whole 128-lane groups, and the caller never
+                # merges (nz, ny) in HBM (that merge is a physical copy when
+                # ny % 8 != 0 — it was ~10% of RT1 device time as reshapes
+                # around the old flat-B kernel).  Dead lanes: alpha = 1 (it is
+                # divided by), everything else 0.
+                nz_, ny_ = mask.shape[0], mask.shape[1]
+                wy = -(-ny_ // 128) * 128
+
+                def _pack(a, fill):
+                    # a (..., nz, ny, rows) -> (..., rows, nz * wy)
+                    m = np.moveaxis(a, -1, a.ndim - 3)  # (..., rows, nz, ny)
+                    out = np.full((*m.shape[:-1], wy), fill, dtype=m.dtype)
+                    out[..., :ny_] = m
+                    return out.reshape(*m.shape[:-2], nz_ * wy)
+
+                ctx_np[f"hoxT_mask_{key}"] = _pack(mask, 0.0)
+                ctx_np[f"tri_hoxT_dinvm_{key}"] = _pack(dmm, 0.0)
+                ctx_np[f"tri_hoxT_l_{key}"] = _pack(l, 0.0)
+                ctx_np[f"tri_hoxT_alpha_{key}"] = _pack(alpha, 1.0)
         if et.k == 0 and fes.m == 0 and l is not None:
             # RT0 fused-kernel operands (ops/pallas_fused.py): the pre-masked
             # scale mask/m_t (group-independent) and dinv*mask (group-sliced)
@@ -549,4 +563,13 @@ def build_context(
     ctx_np["sigr"] = SigR  # raw removal XS, used by the CMFD finite-volume operator
     ctx_np["vol"] = mesh.volumes()
 
-    return {k: jnp.asarray(v, dtype=dtype) for k, v in ctx_np.items()}
+    out = {k: jnp.asarray(v, dtype=dtype) for k, v in ctx_np.items()}
+    if "precond_blk_inv" in out and out["precond_blk_inv"].dtype == jnp.float32:
+        # The P x P block-Jacobi inverse is equilibrated to unit diagonal
+        # (entries O(1)), so bfloat16 storage costs the preconditioner < 0.5%
+        # relative accuracy — but HALVES the dominant HBM traffic of its apply:
+        # the 64 per-cell coefficient planes were ~253 MB/call at RT1-P1 988k,
+        # ~16% of device time (round-3 trace).  The einsum upcasts to the flux
+        # dtype on the fly inside the fusion.
+        out["precond_blk_inv"] = out["precond_blk_inv"].astype(jnp.bfloat16)
+    return out

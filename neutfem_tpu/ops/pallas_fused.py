@@ -40,7 +40,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_tridiag import _VMEM_BUDGET, _pad_up, _round_down
+from .pallas_tridiag import _pad_up, _round_down
+
+# Like the HO kernels (pallas_fused_ho.py), the fused RT0 kernels hold whole
+# solve-axis panels in VMEM, so the conservative 8 MiB tridiag budget silently
+# declined the y/z kernels at the 2.6M/3.5M benchmark meshes (n = 152 -> the
+# minimum (8, 128) tile underflows).  VMEM is ~16 MiB/core: budget 12 MiB and
+# tell Mosaic explicitly.
+_VMEM_BUDGET = 12 * 2**20
+_VMEM_LIMIT = 13 * 2**20
 
 __all__ = ["fused_schur_dir", "fused_fits", "fused_schur_x_pre",
            "fused_schur_y_pre"]
@@ -281,7 +289,9 @@ def _fused_z(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
         kern,
         out_shape=jax.ShapeDtypeStruct((B, n, S, C), v.dtype),
         grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",) * 3),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 3,
+            vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
         out_specs=spec(n),
         scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), v.dtype)],
@@ -301,7 +311,9 @@ def _fused_y(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
         kern,
         out_shape=jax.ShapeDtypeStruct((B, S, n, C), v.dtype),
         grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",) * 3),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 3,
+            vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
         out_specs=spec(n),
         scratch_shapes=[
@@ -330,7 +342,9 @@ def _fused_yT(acc, v, sT, dmT, lT, bx0: float, bx1: float, ts: int, tc: int,
         kern,
         out_shape=jax.ShapeDtypeStruct((B, S, n, C), v.dtype),
         grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",) * 3),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 3,
+            vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[cell, cell, tsp(n + 1), tsp(n + 1), tsp(n)],
         out_specs=cell,
         scratch_shapes=[
@@ -355,7 +369,9 @@ def _fused_xT(acc, v, sT, dmT, lT, bx0: float, bx1: float, tb: int,
         kern,
         out_shape=jax.ShapeDtypeStruct((B, n), v.dtype),
         grid=(pl.cdiv(B, tb),),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[cell_spec, cell_spec, tspec(n + 1), tspec(n + 1), tspec(n)],
         out_specs=cell_spec,
         scratch_shapes=[
@@ -378,7 +394,9 @@ def _fused_x(acc, v, s, dm, l, bx0: float, bx1: float, tb: int,
         kern,
         out_shape=jax.ShapeDtypeStruct((B, n), v.dtype),
         grid=(pl.cdiv(B, tb),),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
         out_specs=spec(n),
         scratch_shapes=[

@@ -39,7 +39,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_tridiag import _VMEM_BUDGET, _pad_up, _round_down
+from .pallas_tridiag import _pad_up, _round_down
+
+# The HO kernels hold K1 whole mode planes of the solve axis in VMEM, so the
+# conservative 8 MiB budget of the RT0 kernels (pallas_tridiag._VMEM_BUDGET)
+# underflows the minimum (8, 128) tile at moderate ny (the round-3 RT1 988k
+# mesh has ny = 114 -> the y kernel silently declined).  VMEM is ~16 MiB/core;
+# budget 12 MiB here and tell Mosaic explicitly via vmem_limit_bytes.
+_VMEM_BUDGET_HO = 12 * 2**20
+_VMEM_LIMIT_HO = 13 * 2**20
 
 __all__ = ["fused_ho_dir", "ho_coeff_tables"]
 
@@ -124,12 +132,14 @@ def _body_z_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
 
 
 def _body_y_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
-               q_ref, out_ref, zf, vt, ot, *, K1):
+               q_ref, out_ref, zf, vt, *, K1):
     """y-direction higher-order body (solve axis middle), one transverse mode
     per instance.  Blocks: acc/v/out (1, K1, 1, ts, n, tc); staged
     s/dm (n+1, ts, tc); l/a (n, ts, tc); coefficient tables in SMEM.
     The K1 mode planes are relayouted to solve-axis-major scratches so each
-    recurrence step reads whole (ts, tc) tiles (see _body_yT rationale)."""
+    recurrence step reads whole (ts, tc) tiles (see _body_yT rationale).
+    The backward pass overwrites vt in place once vt[:, e] has fed its last
+    q-term read — no separate output scratch (VMEM footprint gates ny)."""
     n = v_ref.shape[4]
     for li in range(K1):
         vt[li] = jnp.swapaxes(v_ref[0, li, 0], 0, 1)
@@ -160,29 +170,43 @@ def _body_y_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
         e = n - 1 - i
         f_e = zf[e] * dm_ref[e] - l_ref[e] * f_next
         ainv = 1.0 / a_ref[e]
+        qvs = []
         for li in range(K1):
             qv = q_ref[0, li, 0] * vt[0, e]
             for lj in range(1, K1):
                 qv += q_ref[0, li, lj] * vt[lj, e]
-            ot[li, e] = (bxo_ref[0, 0, li] * f_e + bxo_ref[0, 1, li] * f_next
-                         + qv * ainv)
+            qvs.append(qv)
+        for li in range(K1):
+            vt[li, e] = (bxo_ref[0, 0, li] * f_e + bxo_ref[0, 1, li] * f_next
+                         + qvs[li] * ainv)
         zf[e] = f_e
         return f_e
 
     jax.lax.fori_loop(0, n, bwd, f_next)
     for li in range(K1):
-        out_ref[0, li, 0] = acc_ref[0, li, 0] + jnp.swapaxes(ot[li], 0, 1)
+        out_ref[0, li, 0] = acc_ref[0, li, 0] + jnp.swapaxes(vt[li], 0, 1)
 
 
 def _body_x_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
-               q_ref, out_ref, vt, zf, ot, *, K1):
-    """x-direction higher-order body (solve axis minor): wide-2D transposed
-    form.  Blocks: acc/v/out (1, 1, K1, tb, n); staged s/dm (n+1, tb);
-    l/a (n, tb).  The K1 mode planes are transposed into (n, tb) scratches so
-    the recurrence runs down sublanes (see _body_xT rationale)."""
-    n = v_ref.shape[4]
+               q_ref, out_ref, vt, zf, *, K1, ny, wy):
+    """x-direction higher-order body (solve axis minor): wide transposed form
+    over a z-slab, operating on the NATURAL 6D flux layout — no HBM (nz, ny)
+    merge (a physical copy whenever ny % 8 != 0; it was ~10% of RT1 device
+    time around the old flat-B kernel).
+
+    Blocks: acc/v/out (1, 1, K1, tz, ny, n); staged s/dm (n+1, tz*wy) and
+    l/a (n, tz*wy) in the lane-packed per-z layout of ops/context.py (wy = ny
+    padded to a lane tile; dead lanes 0, alpha 1).  Each of the K1 x tz mode
+    planes is transposed into the (n, tz*wy) vt scratch at its z-slice's
+    128-aligned lane offset; the recurrence then runs down sublanes over the
+    whole slab width.  The backward pass overwrites vt in place; dead/garbage
+    lanes never cross lanes (the recurrence is lanewise) and are sliced away
+    at unpack."""
+    n = v_ref.shape[5]
+    tz = v_ref.shape[3]
     for li in range(K1):
-        vt[li] = v_ref[0, 0, li].T
+        for t in range(tz):
+            vt[li, :, t * wy:t * wy + ny] = v_ref[0, 0, li, t].T
 
     rf0 = bxs_ref[0, 0, 0] * vt[0, 0]
     for li in range(1, K1):
@@ -210,18 +234,23 @@ def _body_x_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
         e = n - 1 - i
         f_e = zf[e] * dm_ref[e] - l_ref[e] * f_next
         ainv = 1.0 / a_ref[e]
+        qvs = []
         for li in range(K1):
             qv = q_ref[0, li, 0] * vt[0, e]
             for lj in range(1, K1):
                 qv += q_ref[0, li, lj] * vt[lj, e]
-            ot[li, e] = (bxo_ref[0, 0, li] * f_e + bxo_ref[0, 1, li] * f_next
-                         + qv * ainv)
+            qvs.append(qv)
+        for li in range(K1):
+            vt[li, e] = (bxo_ref[0, 0, li] * f_e + bxo_ref[0, 1, li] * f_next
+                         + qvs[li] * ainv)
         zf[e] = f_e
         return f_e
 
     jax.lax.fori_loop(0, n, bwd, f_next)
     for li in range(K1):
-        out_ref[0, 0, li] = acc_ref[0, 0, li] + ot[li].T
+        for t in range(tz):
+            out_ref[0, 0, li, t] = (acc_ref[0, 0, li, t]
+                                    + vt[li, :, t * wy:t * wy + ny].T)
 
 
 def _tiles_ho(n: int, s12, dtype, K1: int):
@@ -230,11 +259,12 @@ def _tiles_ho(n: int, s12, dtype, K1: int):
     (v/acc/out, double-buffered) + 4 face planes + 1 scratch."""
     itemsize = jnp.dtype(dtype).itemsize
     fp = 6 * K1 + 9
-    tc = _round_down(min(256, _VMEM_BUDGET // (fp * 8 * (n + 1) * itemsize)), 128)
+    tc = _round_down(min(256, _VMEM_BUDGET_HO // (fp * 8 * (n + 1) * itemsize)),
+                     128)
     if tc == 0:
         return None
     tc = min(tc, _pad_up(s12[1], 128))
-    ts = _round_down(min(8, _VMEM_BUDGET // (fp * (n + 1) * tc * itemsize)), 8)
+    ts = _round_down(min(8, _VMEM_BUDGET_HO // (fp * (n + 1) * tc * itemsize)), 8)
     if ts == 0:
         return None
     ts = min(ts, _pad_up(s12[0], 8))
@@ -243,27 +273,35 @@ def _tiles_ho(n: int, s12, dtype, K1: int):
 
 def _tiles_ho_y(n: int, s02, dtype, K1: int):
     """(ts, tc) for the y-direction HO kernel.  Footprints: 3*K1 streamed cell
-    planes (double-buffered) + 4 staged face planes + 2*K1+1 scratches."""
+    planes (double-buffered) + 4 staged face planes + K1+1 scratches (vt is
+    overwritten in place on the backward pass)."""
     itemsize = jnp.dtype(dtype).itemsize
-    fp = 6 * K1 + 4 + 2 * K1 + 1
-    tc = _round_down(min(256, _VMEM_BUDGET // (fp * 8 * (n + 1) * itemsize)), 128)
+    fp = 6 * K1 + 4 + K1 + 1
+    tc = _round_down(min(256, _VMEM_BUDGET_HO // (fp * 8 * (n + 1) * itemsize)),
+                     128)
     if tc == 0:
         return None
     tc = min(tc, _pad_up(s02[1], 128))
-    ts = _round_down(min(8, _VMEM_BUDGET // (fp * (n + 1) * tc * itemsize)), 8)
+    ts = _round_down(min(8, _VMEM_BUDGET_HO // (fp * (n + 1) * tc * itemsize)), 8)
     if ts == 0:
         return None
     ts = min(ts, _pad_up(s02[0], 8))
     return ts, tc
 
 
-def _tb_ho_x(n: int, dtype, K1: int):
-    """Row-tile for the x-direction HO kernel, or None."""
+def _tz_ho_x(n: int, nz: int, ny: int, dtype, K1: int):
+    """z-slab tile for the x-direction HO kernel, or None.  Footprint per unit
+    of tz: 3*K1 double-buffered cell planes (ny, n), 4 double-buffered staged
+    face panels (rows, wy), and the vt/zf scratches at slab width wy."""
     itemsize = jnp.dtype(dtype).itemsize
-    npad = _pad_up(n + 1, 128)
-    fp = 6 * K1 + 8 + 2 * K1 + 1
-    tb = _round_down(min(1024, _VMEM_BUDGET // (fp * npad * itemsize)), 256)
-    return tb if tb else None
+    wy = _pad_up(ny, 128)
+    nyp = _pad_up(ny, 8)
+    npd = _pad_up(n, 128)
+    rows = _pad_up(n + 1, 8)
+    per_tz = itemsize * (6 * K1 * nyp * npd + 8 * rows * wy
+                         + K1 * _pad_up(n, 8) * wy + rows * wy)
+    tz = min(8, int(_VMEM_BUDGET_HO // per_tz), nz)
+    return tz if tz >= 1 else None
 
 
 @functools.partial(jax.jit, static_argnames=("K1", "ts", "tc", "interpret"))
@@ -287,13 +325,13 @@ def _fused_y_ho(acc, v, sT, dmT, lT, aT, bxs, bxo, qt, K1: int, ts: int,
         out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
         grid=(G0, G2, pl.cdiv(S, ts), pl.cdiv(C, tc)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",) * 4),
+            dimension_semantics=("parallel",) * 4,
+            vmem_limit_bytes=_VMEM_LIMIT_HO),
         in_specs=[cell, cell, face(n + 1), face(n + 1), face(n), face(n),
                   coef(2, K1), coef(2, K1), coef(K1, K1)],
         out_specs=cell,
         scratch_shapes=[
             pltpu.VMEM((n + 1, ts, tc), v.dtype),
-            pltpu.VMEM((K1, n, ts, tc), v.dtype),
             pltpu.VMEM((K1, n, ts, tc), v.dtype),
         ],
         input_output_aliases={0: 0},
@@ -301,33 +339,36 @@ def _fused_y_ho(acc, v, sT, dmT, lT, aT, bxs, bxo, qt, K1: int, ts: int,
     )(acc, v, sT, dmT, lT, aT, bxs, bxo, qt)
 
 
-@functools.partial(jax.jit, static_argnames=("K1", "tb", "interpret"))
-def _fused_x_ho(acc, v, sT, dmT, lT, aT, bxs, bxo, qt, K1: int, tb: int,
-                interpret: bool = False):
-    # v/acc: (K1[t_high], K1[t_low], K1[l], B, n); staged ops (rows, B)
-    _, G1, _, B, n = v.shape
-    cell = pl.BlockSpec((1, 1, K1, tb, n),
-                        lambda i0, i1, b: (i0, i1, 0, b, 0),
+@functools.partial(jax.jit,
+                   static_argnames=("K1", "tz", "wy", "interpret"))
+def _fused_x_ho(acc, v, sT, dmT, lT, aT, bxs, bxo, qt, K1: int, tz: int,
+                wy: int, interpret: bool = False):
+    # v/acc: (K1[t_high], K1[t_low], K1[l], nz, ny, n); staged ops lane-packed
+    # (rows, nz*wy) per ops/context.py
+    _, G1, _, nz, ny, n = v.shape
+    cell = pl.BlockSpec((1, 1, K1, tz, ny, n),
+                        lambda i0, i1, zb: (i0, i1, 0, zb, 0, 0),
                         memory_space=pltpu.VMEM)
-    face = lambda rows: pl.BlockSpec((rows, tb), lambda i0, i1, b: (0, b),
+    face = lambda rows: pl.BlockSpec((rows, tz * wy),
+                                     lambda i0, i1, zb: (0, zb),
                                      memory_space=pltpu.VMEM)
     coef = lambda a, b_: pl.BlockSpec((1, a, b_),
-                                      lambda i0, i1, b: (i1 + G1 * i0, 0, 0),
+                                      lambda i0, i1, zb: (i1 + G1 * i0, 0, 0),
                                       memory_space=pltpu.SMEM)
-    kern = functools.partial(_body_x_ho, K1=K1)
+    kern = functools.partial(_body_x_ho, K1=K1, ny=ny, wy=wy)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
-        grid=(v.shape[0], G1, pl.cdiv(B, tb)),
+        grid=(v.shape[0], G1, pl.cdiv(nz, tz)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",) * 3),
+            dimension_semantics=("parallel",) * 3,
+            vmem_limit_bytes=_VMEM_LIMIT_HO),
         in_specs=[cell, cell, face(n + 1), face(n + 1), face(n), face(n),
                   coef(2, K1), coef(2, K1), coef(K1, K1)],
         out_specs=cell,
         scratch_shapes=[
-            pltpu.VMEM((K1, n, tb), v.dtype),
-            pltpu.VMEM((n + 1, tb), v.dtype),
-            pltpu.VMEM((K1, n, tb), v.dtype),
+            pltpu.VMEM((K1, n, tz * wy), v.dtype),
+            pltpu.VMEM((n + 1, tz * wy), v.dtype),
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
@@ -355,7 +396,8 @@ def _fused_z_ho(acc, v, s, dm, l, alpha, bxs, bxo, qt, K1: int, ts: int,
         out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
         grid=(G1, G2, pl.cdiv(S, ts), pl.cdiv(C, tc)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",) * 4),
+            dimension_semantics=("parallel",) * 4,
+            vmem_limit_bytes=_VMEM_LIMIT_HO),
         in_specs=[cell, cell, face(n + 1), face(n + 1), face(n), face(n),
                   coef(2, K1), coef(2, K1), coef(K1, K1)],
         out_specs=cell,
@@ -430,20 +472,20 @@ def fused_ho_dir(fes, di, acc, v, mask, dinvm, l, alpha, tables,
         )
         return out.reshape(v.shape)
 
-    # x: wide-2D transposed form over B = nz*ny rows
+    # x: wide transposed form per z-slab on the natural 6D layout
     n = nx
-    B = nz * ny
-    if n < 4 or B < 512:
+    if n < 4 or nz * ny < 512:
         return None
-    if mask.shape != (n + 1, B):
+    wy = _pad_up(ny, 128)
+    if mask.shape != (n + 1, nz * wy):
         return None  # caller passed unstaged operands
-    tb = _tb_ho_x(n, v.dtype, K1)
-    if tb is None:
+    tz = _tz_ho_x(n, nz, ny, v.dtype, K1)
+    if tz is None:
         return None
     out = _fused_x_ho(
-        acc6.reshape(K1, K1, K1, B, n), v6.reshape(K1, K1, K1, B, n),
+        acc6, v6,
         mask.astype(dt), dinvm.astype(dt), l.astype(dt), alpha.astype(dt),
         cb(bxs), cb(bxo), cb(qt),
-        K1=K1, tb=tb, interpret=interpret,
+        K1=K1, tz=tz, wy=wy, interpret=interpret,
     )
     return out.reshape(v.shape)
