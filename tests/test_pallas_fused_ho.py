@@ -128,3 +128,54 @@ def test_ho_kernel_declines_m_lt_k():
     fes_low = make_fespace(mesh, 1, 0)
     di_z = [d for d in fes_low.dirs if d.axis == 0][0]
     assert ho_coeff_tables(fes_low, di_z) is None
+
+
+def test_tile_gates_engage_at_benchmark_meshes():
+    """Regression: the HO kernels must FIT (not silently decline) at the
+    benchmark mesh sizes.  Round 3 found the y kernel declining at ny=114
+    (IAEA-3D 6x6x4) because the RT0 8 MiB VMEM budget underflowed the minimum
+    (8, 128) tile — a silent 50% RT1 perf loss."""
+    import jax.numpy as jnp
+
+    from neutfem_tpu.ops.pallas_fused_ho import _tiles_ho, _tiles_ho_y, _tz_ho_x
+    from neutfem_tpu.ops.pallas_fused import _tiles as _tiles_rt0
+
+    # RT1-P1 (K1=2): IAEA-3D 6x6x4 (76,114,114) and 8x8x6 (114,152,152)
+    for n, s in ((114, (76, 114)), (152, (114, 152))):
+        assert _tiles_ho_y(n, s, jnp.float32, 2) is not None
+    assert _tiles_ho(76, (114, 114), jnp.float32, 2) is not None
+    assert _tz_ho_x(114, 76, 114, jnp.float32, 2) is not None
+    assert _tz_ho_x(152, 114, 152, jnp.float32, 2) is not None
+    # RT0: the 2.6M/3.5M meshes have n=152 on every axis
+    for rel in (0, 1):
+        assert _tiles_rt0((152, 152, 152), jnp.float32, rel) is not None
+
+
+def test_block_precond_stored_bf16_for_f32():
+    """The equilibrated P x P block-Jacobi inverse is stored bfloat16 when the
+    solve dtype is float32 (halves its HBM traffic; entries are O(1))."""
+    import jax.numpy as jnp
+
+    from neutfem_tpu import BCKind, BCSpec, CartesianMesh, make_fespace
+    from neutfem_tpu.mesh import boundary_attribute
+    from neutfem_tpu.ops.context import build_context
+
+    mesh = CartesianMesh.from_breaks(
+        np.linspace(0, 8, 9), np.linspace(0, 8, 9), np.linspace(0, 8, 9)
+    )
+    fes = make_fespace(mesh, 1, 1)
+    ng = 1
+    sp = mesh.shape
+    xs = {
+        "D": np.full((ng, *sp), 1.2), "SigR": np.full((ng, *sp), 0.1),
+        "NSF": np.zeros((ng, *sp)), "Chi": np.ones((ng, *sp)),
+        "SigS": np.zeros((ng, ng, *sp)), "SRC": np.zeros((ng, *sp)),
+    }
+    bcs = BCSpec()
+    for ax in range(3):
+        for up in (False, True):
+            bcs.set(boundary_attribute(3, ax, up), BCKind.DIRICHLET)
+    ctx = build_context(fes, ng, xs, bcs, dtype=jnp.float32)
+    assert ctx["precond_blk_inv"].dtype == jnp.bfloat16
+    ctx64 = build_context(fes, ng, xs, bcs, dtype=jnp.float64)
+    assert ctx64["precond_blk_inv"].dtype == jnp.float64
