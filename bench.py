@@ -127,6 +127,32 @@ def main_full() -> None:
     print(json.dumps(row))
     rows.append(row)
 
+    # RT2-P2 at 5.9M flux DOFs: the HO fused kernels' K1 = 3 tile paths on
+    # real Mosaic (m = k = 2, 27 modes/cell)
+    run = BenchmarkRun(spec, mesh_n=4, mesh_nz=2, rt_order=2, verbose=False)
+    run.solve(tol=(1e-7, 1e-5, 1e-5, 120, 1000))
+    run.solver.reset_flux()
+    t0 = time.time()
+    keff = run.solver.SolveKeff()
+    wall = time.time() - t0
+    outers = run.solver._last_outers
+    row = {
+        "metric": "iaea3d_rt2p2_seconds_per_outer_iteration",
+        "value": round(wall / max(outers, 1), 6),
+        "unit": "s/outer",
+        "detail": {
+            "keff": round(keff, 7),
+            "n_dofs": int(run.solver._fes.n_phi),
+            "outer_iterations": outers,
+            "inner_iterations": run.solver._last_inners,
+            "converged_not_capped": bool(outers < 120),
+            "solve_wall_s": round(wall, 3),
+            "mesh": "4x4x2 RT2-P2",
+        },
+    }
+    print(json.dumps(row))
+    rows.append(row)
+
     # 3.5M-cell RT0 scale row
     run = BenchmarkRun(spec, mesh_n=8, mesh_nz=8, verbose=False)
     run.solve(tol=(1e-5, 1e-4, 1e-4, 200, 1000))

@@ -352,6 +352,83 @@ def _fused_sharded(sh, acc, v, scale, dm, lf, axis, bx0, bx1, interpret=False):
     )(acc, v, scale, dm, lf)
 
 
+def _fused_sharded_ho(sh, fes, di, acc, v, ctx, tables, interpret=False):
+    """shard_map wrapper for the HIGHER-ORDER fused direction kernel under
+    spatial sharding (the k >= 1 sibling of _fused_sharded).  Engages when the
+    solve axis is orthogonal to every cut, all cut axes shard evenly, the
+    PER-SHARD local shape passes the kernel gates (ho_fits), and the staged
+    operands slice cleanly along the cut:
+
+    - z direction: natural (solve-axis-leading) operands — any y/x cut;
+    - y direction: the hoyT solve-axis-major staged operands (ny+1, nz, nx) —
+      any z/x cut;
+    - x direction: the hoxT lane-packed operands (rows, nz*wy) merge nz with
+      the PADDED ny, so only a pure z cut slices into per-shard blocks
+      (the merged axis is nz-major); any y cut declines.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .pallas_fused_ho import fused_ho_dir, ho_fits
+
+    if tables is None:
+        return None
+    mesh, amap = sh
+    if di.axis in amap:
+        return None  # solve axis is cut: no local line solve possible
+    key = f"d{di.d}"
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    lspat = list(v.shape[-3:])
+    for ga, nm in amap.items():
+        if lspat[ga] % sizes[nm] != 0:
+            return None
+        lspat[ga] //= sizes[nm]
+    if not ho_fits(di.axis, tuple(lspat), v.dtype, fes.m + 1, interpret):
+        return None
+
+    nz, ny, nx = v.shape[-3:]
+    spec_op = [None, None, None]
+    if di.axis == 0:  # natural operand dims are (z, y, x)
+        ops = (jnp.broadcast_to(ctx[f"mask_{key}"], (nz + 1, ny, nx)),
+               jnp.broadcast_to(ctx[f"tri_dinvm_{key}"], (nz + 1, ny, nx)),
+               jnp.broadcast_to(ctx[f"tri_l_{key}"], (nz, ny, nx)),
+               jnp.broadcast_to(ctx[f"alpha_{key}"], (nz, ny, nx)))
+        for ga, nm in amap.items():
+            spec_op[ga] = nm
+    elif di.axis == 1:  # staged operand dims are (y, z, x)
+        if f"tri_hoyT_dinvm_{key}" not in ctx:
+            return None
+        ops = (ctx[f"hoyT_mask_{key}"], ctx[f"tri_hoyT_dinvm_{key}"],
+               ctx[f"tri_hoyT_l_{key}"], ctx[f"tri_hoyT_alpha_{key}"])
+        for ga, nm in amap.items():
+            spec_op[{0: 1, 2: 2}[ga]] = nm
+    else:  # x: lane-packed 2D staged operands, pure z cut only
+        if f"tri_hoxT_dinvm_{key}" not in ctx or set(amap) != {0}:
+            return None
+        ops = (ctx[f"hoxT_mask_{key}"], ctx[f"tri_hoxT_dinvm_{key}"],
+               ctx[f"tri_hoxT_l_{key}"], ctx[f"tri_hoxT_alpha_{key}"])
+        spec_op = [None, amap[0]]
+    spec_op = P(*spec_op)
+    spec_v = [None] * v.ndim
+    for ga, nm in amap.items():
+        spec_v[v.ndim - 3 + ga] = nm
+    spec_v = P(*spec_v)
+
+    def body(o, vv, m_, d_, l_, a_):
+        r = fused_ho_dir(fes, di, o, vv, m_, d_, l_, a_, tables,
+                         interpret=interpret)
+        assert r is not None  # guaranteed by the ho_fits pre-check
+        return r
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_v, spec_v, spec_op, spec_op, spec_op, spec_op),
+        out_specs=spec_v,
+        # pallas_call's ShapeDtypeStruct outputs carry no vma annotation
+        check_vma=False,
+    )(acc, v, *ops)
+
+
 def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
     """S v = C v + sum_d B_d A_d^{-1} B_d^T v   (matrix-free Schur complement).
 
@@ -400,11 +477,13 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
         and a_mode == "exact"
         and os.environ.get("NEUTFEM_PALLAS", "1") != "0"
     )
+    sh_ho = None
     if use_ho_kernel:
         from ..shardctx import current_sharding
         from .pallas_tridiag import pallas_available
 
-        use_ho_kernel = pallas_available() and current_sharding() is None
+        use_ho_kernel = pallas_available()
+        sh_ho = current_sharding()
     for di in fes.dirs:
         key = f"d{di.d}"
         if use_condensed:
@@ -412,17 +491,29 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
                     and f"tri_dinvm_{key}" in ctx):
                 from .pallas_fused_ho import fused_ho_dir, ho_coeff_tables
 
-                if di.axis == 1 and f"tri_hoyT_dinvm_{key}" in ctx:
-                    ops = (ctx[f"hoyT_mask_{key}"], ctx[f"tri_hoyT_dinvm_{key}"],
-                           ctx[f"tri_hoyT_l_{key}"], ctx[f"tri_hoyT_alpha_{key}"])
-                elif di.axis == 2 and f"tri_hoxT_dinvm_{key}" in ctx:
-                    ops = (ctx[f"hoxT_mask_{key}"], ctx[f"tri_hoxT_dinvm_{key}"],
-                           ctx[f"tri_hoxT_l_{key}"], ctx[f"tri_hoxT_alpha_{key}"])
+                if sh_ho is not None:
+                    # direction orthogonal to every mesh cut: per-shard fused
+                    # HO kernel on complete local lines (shard_map); cut
+                    # directions (and declines) take the unfused condensed
+                    # chain below
+                    res = _fused_sharded_ho(sh_ho, fes, di, out, v, ctx,
+                                            ho_coeff_tables(fes, di))
                 else:
-                    ops = (ctx[f"mask_{key}"], ctx[f"tri_dinvm_{key}"],
-                           ctx[f"tri_l_{key}"], ctx[f"alpha_{key}"])
-                res = fused_ho_dir(fes, di, out, v, *ops,
-                                   ho_coeff_tables(fes, di))
+                    if di.axis == 1 and f"tri_hoyT_dinvm_{key}" in ctx:
+                        ops = (ctx[f"hoyT_mask_{key}"],
+                               ctx[f"tri_hoyT_dinvm_{key}"],
+                               ctx[f"tri_hoyT_l_{key}"],
+                               ctx[f"tri_hoyT_alpha_{key}"])
+                    elif di.axis == 2 and f"tri_hoxT_dinvm_{key}" in ctx:
+                        ops = (ctx[f"hoxT_mask_{key}"],
+                               ctx[f"tri_hoxT_dinvm_{key}"],
+                               ctx[f"tri_hoxT_l_{key}"],
+                               ctx[f"tri_hoxT_alpha_{key}"])
+                    else:
+                        ops = (ctx[f"mask_{key}"], ctx[f"tri_dinvm_{key}"],
+                               ctx[f"tri_l_{key}"], ctx[f"alpha_{key}"])
+                    res = fused_ho_dir(fes, di, out, v, *ops,
+                                       ho_coeff_tables(fes, di))
                 if res is not None:
                     out = res
                     continue

@@ -21,8 +21,11 @@ _mode_split).
 
 Scope: m == k (equal flux/current order — the benchmark configurations),
 3D meshes, a_mode == "exact", f32/bf16 on real hardware, no PERIODIC on the
-direction, single device (sharded solves keep the unfused condensed ops).
-Everything else declines to the condensed ops in apply.py.
+direction.  Under spatial sharding, directions orthogonal to every mesh cut
+keep the kernel via apply._fused_sharded_ho (shard_map on complete local
+lines; the x kernel needs a pure z cut — its lane-packed operands only slice
+along z); cut directions and everything else decline to the condensed ops in
+apply.py.
 
 Reference counterpart: the same SchurProduct hot loop as ops/pallas_fused.py
 (/root/reference/src/solvers.cpp:535-547), at higher discretization order.
@@ -49,7 +52,7 @@ from .pallas_tridiag import _pad_up, _round_down
 _VMEM_BUDGET_HO = 12 * 2**20
 _VMEM_LIMIT_HO = 13 * 2**20
 
-__all__ = ["fused_ho_dir", "ho_coeff_tables"]
+__all__ = ["fused_ho_dir", "ho_coeff_tables", "ho_fits"]
 
 
 def ho_coeff_tables(fes, di):
@@ -253,6 +256,25 @@ def _body_x_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
                                     + vt[li, :, t * wy:t * wy + ny].T)
 
 
+def ho_fits(axis: int, lshape, dtype, K1: int, interpret: bool = False) -> bool:
+    """Would the direction kernel engage for (local) spatial shape
+    ``lshape = (nz, ny, nx)``?  The numeric gates of ``fused_ho_dir`` (shape
+    minima + VMEM tile fit), shared with ``apply._fused_sharded_ho`` so the
+    shard_map wrapper can pre-check per-shard shapes OUTSIDE the mapped body
+    (a kernel cannot decline to the unfused path from inside shard_map)."""
+    if not interpret and dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    nz, ny, nx = lshape
+    if axis == 0:  # z
+        return (nz >= 4 and nx >= 64 and ny * nx >= 512
+                and _tiles_ho(nz, (ny, nx), dtype, K1) is not None)
+    if axis == 1:  # y
+        return (ny >= 4 and nx >= 64 and nz >= 4 and nz * nx >= 512
+                and _tiles_ho_y(ny, (nz, nx), dtype, K1) is not None)
+    return (nx >= 4 and nz * ny >= 512
+            and _tz_ho_x(nx, nz, ny, dtype, K1) is not None)
+
+
 def _tiles_ho(n: int, s12, dtype, K1: int):
     """(ts, tc) for the z-direction HO kernel, or None when the VMEM budget
     underflows the minimum tile.  Footprints: 3*K1 streamed cell planes
@@ -424,14 +446,14 @@ def fused_ho_dir(fes, di, acc, v, mask, dinvm, l, alpha, tables,
     materialized."""
     if tables is None:
         return None
-    if not interpret and v.dtype not in (jnp.float32, jnp.bfloat16):
-        return None
     if v.ndim < 4 or any(s != 1 for s in v.shape[:-4]):
         return None
     if fes.mesh.dim != 3:
         return None
     K1 = fes.m + 1
     nz, ny, nx = v.shape[-3:]
+    if not ho_fits(di.axis, (nz, ny, nx), v.dtype, K1, interpret):
+        return None
     bxs, bxo, qt = tables
     dt = v.dtype
     cb = lambda a: jnp.asarray(a, dt)
@@ -440,11 +462,7 @@ def fused_ho_dir(fes, di, acc, v, mask, dinvm, l, alpha, tables,
 
     if di.axis == 0:  # z: solve axis leading
         n = nz
-        if n < 4 or nx < 64 or ny * nx < 512:
-            return None
         tiles = _tiles_ho(n, (ny, nx), v.dtype, K1)
-        if tiles is None:
-            return None
         out = _fused_z_ho(
             acc6, v6,
             jnp.broadcast_to(mask, (n + 1, ny, nx)).astype(dt),
@@ -458,13 +476,9 @@ def fused_ho_dir(fes, di, acc, v, mask, dinvm, l, alpha, tables,
 
     if di.axis == 1:  # y: staged solve-axis-major operands (ny+1, nz, nx)
         n = ny
-        if n < 4 or nx < 64 or nz < 4 or nz * nx < 512:
-            return None
         if mask.shape != (n + 1, nz, nx):
             return None  # caller passed unstaged operands
         tiles = _tiles_ho_y(n, (nz, nx), v.dtype, K1)
-        if tiles is None:
-            return None
         out = _fused_y_ho(
             acc6, v6, mask.astype(dt), dinvm.astype(dt), l.astype(dt),
             alpha.astype(dt), cb(bxs), cb(bxo), cb(qt),
@@ -474,14 +488,10 @@ def fused_ho_dir(fes, di, acc, v, mask, dinvm, l, alpha, tables,
 
     # x: wide transposed form per z-slab on the natural 6D layout
     n = nx
-    if n < 4 or nz * ny < 512:
-        return None
     wy = _pad_up(ny, 128)
     if mask.shape != (n + 1, nz * wy):
         return None  # caller passed unstaged operands
     tz = _tz_ho_x(n, nz, ny, v.dtype, K1)
-    if tz is None:
-        return None
     out = _fused_x_ho(
         acc6, v6,
         mask.astype(dt), dinvm.astype(dt), l.astype(dt), alpha.astype(dt),

@@ -98,7 +98,8 @@ def _spec_for(key: str, shape, axis_map: Dict[int, str], mesh: Mesh) -> P:
 #: (fused_schur_{x,y}_pre engage only when no sharding scope is active)
 _XT_PREFIXES = ("fusedxT_", "tri_xT_", "fusedyT_", "tri_yT_")
 #: fused-kernel operands, unused for a direction whose solve axis is cut
-_FUSED_PREFIXES = ("scale_fused_", "tri_dinvm_")
+_FUSED_PREFIXES = ("scale_fused_", "tri_dinvm_",
+                   "hoyT_", "tri_hoyT_", "hoxT_", "tri_hoxT_")
 #: face arrays (n_cells + 1 along their own axis) that the ops re-join from a
 #: body + seam split via apply.ctx_face
 _SPLIT_PREFIXES = ("tri_dinv_", "mask_", "dtilde_", "jscale_")
@@ -122,9 +123,9 @@ def shard_context(ctx: Dict, mesh: Mesh, fes: FESpace, grid_axis: GridAxes = 1) 
             continue  # single-device-only fused-x operands
         dkey = k.rsplit("_", 1)[-1]
         shape = np.shape(v)
+        if dkey in cut_axes and k.startswith(_FUSED_PREFIXES):
+            continue  # fused kernels decline on the cut axis: dead weight
         if dkey in cut_axes and len(shape) >= 3:
-            if k.startswith(_FUSED_PREFIXES):
-                continue  # fused kernels decline on the cut axis: dead weight
             ga = cut_axes[dkey]
             ax = len(shape) - 3 + ga
             ndev = sizes[amap[ga]]
@@ -145,6 +146,24 @@ def shard_context(ctx: Dict, mesh: Mesh, fes: FESpace, grid_axis: GridAxes = 1) 
                     jnp.asarray(seam, dtype=v.dtype),
                     NamedSharding(mesh, _spec_for(k, seam.shape, amap, mesh)))
                 continue
+        if ("hoyT_" in k or "hoxT_" in k) and dkey not in cut_axes:
+            # staged HO fused-kernel operands of an UNCUT direction carry
+            # permuted/packed spatial layouts _spec_for cannot see:
+            # hoyT_* is (ny[+1], nz, nx) solve-axis-major; hoxT_* is
+            # (rows, nz*wy) lane-packed nz-major (shardable by a pure z cut)
+            if "hoyT_" in k:
+                spec = [None] * len(shape)
+                for ga, nm in amap.items():
+                    d = {0: len(shape) - 2, 2: len(shape) - 1}.get(ga)
+                    if d is not None and shape[d] % sizes[nm] == 0:
+                        spec[d] = nm
+                spec = P(*spec)
+            else:
+                spec = P()
+                if set(amap) == {0} and fes.mesh.shape[0] % sizes[amap[0]] == 0:
+                    spec = P(*([None] * (len(shape) - 1)), amap[0])
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+            continue
         spec = _spec_for(k, shape, amap, mesh)
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out

@@ -179,3 +179,100 @@ def test_block_precond_stored_bf16_for_f32():
     assert ctx["precond_blk_inv"].dtype == jnp.bfloat16
     ctx64 = build_context(fes, ng, xs, bcs, dtype=jnp.float64)
     assert ctx64["precond_blk_inv"].dtype == jnp.float64
+
+
+def _internal_group0(mesh, fes, ng, seed=11):
+    rng = np.random.default_rng(seed)
+    v = phi_to_internal(
+        jnp.asarray(rng.normal(size=(ng, *mesh.shape, fes.P)), DT)
+    )
+    return v[0][None]
+
+
+@pytest.mark.parametrize("shape,cut_ga,engage_axis", [
+    # z cut, 8 devices: y kernel engages (local nz_l=4, nx=128 -> nz_l*nx=512)
+    ((32, 8, 128), 0, 1),
+    # y cut: z kernel engages (natural operands; ny_l=8, ny_l... nx=64)
+    ((8, 64, 64), 1, 0),
+    # pure z cut: x kernel engages via the lane-packed hoxT operands
+    # (nz_l*ny = 4*128 = 512)
+    ((32, 128, 4), 0, 2),
+])
+def test_ho_fused_sharded_matches_condensed(shape, cut_ga, engage_axis):
+    """_fused_sharded_ho (solve axis orthogonal to the cut) must equal the
+    unfused condensed contribution — virtual 8-device mesh, interpret mode.
+    The direction ON the cut must decline (no local line solve)."""
+    import jax
+
+    from neutfem_tpu.ops.apply import _fused_sharded_ho
+    from neutfem_tpu.parallel import device_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh, fes, ng, ctx = _problem(shape, 1, 1)
+    vg = _internal_group0(mesh, fes, ng)
+    cg = ctx_group(ctx, 0)
+    dmesh = device_mesh(8)
+    amap = {cut_ga: dmesh.axis_names[0]}
+
+    for di in fes.dirs:
+        tables = ho_coeff_tables(fes, di)
+        acc = jnp.zeros_like(vg)
+        res = _fused_sharded_ho((dmesh, amap), fes, di, acc, vg, cg, tables,
+                                interpret=True)
+        if di.axis == cut_ga:
+            assert res is None  # solve axis on the cut: must decline
+            continue
+        if di.axis != engage_axis:
+            continue  # other direction may decline on its local gates
+        assert res is not None, f"direction {di.axis} must engage"
+        want = _condensed_dir_contribution(fes, di, cg, vg)
+        np.testing.assert_allclose(
+            np.asarray(res), np.asarray(want),
+            rtol=0, atol=5e-5 * float(jnp.abs(want).max()),
+        )
+        # accumulator aliasing through the shard_map wrapper
+        rng = np.random.default_rng(3)
+        acc2 = jnp.asarray(rng.normal(size=vg.shape), DT)
+        res2 = _fused_sharded_ho((dmesh, amap), fes, di, acc2, vg, cg, tables,
+                                 interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(res2 - acc2), np.asarray(want),
+            rtol=0, atol=1e-4 * float(jnp.abs(want).max()),
+        )
+
+
+def test_shard_context_stages_ho_operands():
+    """shard_context must DROP the staged HO operands of a cut direction
+    (dead weight: the kernel declines there) and shard the uncut directions'
+    staged operands along the cut so per-device context memory scales."""
+    import jax
+
+    from neutfem_tpu.parallel import device_mesh, shard_context
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh, fes, ng, ctx = _problem((16, 16, 16), 1, 1)
+    dmesh = device_mesh(8)
+
+    # z cut (grid axis 0): z-direction fused operands dropped; y staged hoyT
+    # (ny+1, nz, nx) sharded on its nz dim; x staged hoxT (rows, nz*wy)
+    # sharded on the packed nz-major axis
+    sctx = shard_context(ctx, dmesh, fes, grid_axis=0)
+    zkey = [f"d{di.d}" for di in fes.dirs if di.axis == 0][0]
+    ykey = [f"d{di.d}" for di in fes.dirs if di.axis == 1][0]
+    xkey = [f"d{di.d}" for di in fes.dirs if di.axis == 2][0]
+    assert f"tri_dinvm_{zkey}" not in sctx
+    nm = dmesh.axis_names[0]
+    spec_y = sctx[f"tri_hoyT_dinvm_{ykey}"].sharding.spec
+    assert spec_y[-2] == nm and spec_y[-1] is None
+    spec_x = sctx[f"tri_hoxT_dinvm_{xkey}"].sharding.spec
+    assert spec_x[-1] == nm
+
+    # y cut: the y direction's staged operands are dead weight -> dropped;
+    # x staged operands stay but cannot shard (packed axis mixes the y pad)
+    sctx = shard_context(ctx, dmesh, fes, grid_axis=1)
+    assert f"tri_hoyT_dinvm_{ykey}" not in sctx
+    assert f"hoyT_mask_{ykey}" not in sctx
+    spec_x = sctx[f"tri_hoxT_dinvm_{xkey}"].sharding.spec
+    assert all(s is None for s in spec_x)
