@@ -71,7 +71,7 @@ def main():
     prev = None
     for tok in args.meshes.split(","):
         parts = [int(p) for p in tok.split("x")]
-        if len(parts) > 2 and parts[1] != parts[0]:
+        if len(parts) >= 2 and parts[1] != parts[0]:
             raise SystemExit(
                 f"--meshes token {tok!r}: the horizontal subdivision must be square "
                 f"(NxNxNZ, got {parts[0]}x{parts[1]} in-plane)"

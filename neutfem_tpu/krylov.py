@@ -44,14 +44,17 @@ def _dot(a, b):
 
 def _dots(*pairs):
     """k dot products in ONE pass: a single variadic ``lax.reduce`` per leaf computes
-    every requested ``sum(x*y)`` together, so XLA emits one fused reduction kernel
-    reading each distinct operand once (vs one kernel per jnp.vdot)."""
+    every requested ``Re<x, y>`` together, so XLA emits one fused reduction kernel
+    reading each distinct operand once (vs one kernel per jnp.vdot).  Matches
+    ``_dot(x, y).real`` exactly (conjugated first operand, real result) so the
+    documented complex-pytree support survives — for real dtypes conj/real are
+    no-ops XLA elides."""
     leaf_pairs = [tuple(zip(jax.tree_util.tree_leaves(x), jax.tree_util.tree_leaves(y)))
                   for (x, y) in pairs]
     n_leaves = len(leaf_pairs[0])
     total = None
     for i in range(n_leaves):
-        prods = tuple(lp[i][0] * lp[i][1] for lp in leaf_pairs)
+        prods = tuple((lp[i][0].conj() * lp[i][1]).real for lp in leaf_pairs)
         dtype = prods[0].dtype
         zeros = (jnp.zeros((), dtype),) * len(prods)
         part = lax.reduce(

@@ -377,6 +377,14 @@ def _fused_sharded_ho(sh, fes, di, acc, v, ctx, tables, interpret=False):
     if di.axis in amap:
         return None  # solve axis is cut: no local line solve possible
     key = f"d{di.d}"
+    # Batched layouts (sweep="jacobi" passes the un-group-sliced (ng, P, ...)
+    # flux and 4D per-group ctx operands) decline exactly like fused_ho_dir
+    # does; without this the z-branch broadcast_to / the 3D specs crash at
+    # trace time instead of falling back to the unfused condensed chain.
+    if v.ndim < 4 or any(s != 1 for s in v.shape[:-4]):
+        return None
+    if jnp.ndim(ctx[f"tri_dinvm_{key}"]) > 3:
+        return None  # un-sliced per-group operands: same decline
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     lspat = list(v.shape[-3:])
     for ga, nm in amap.items():

@@ -54,12 +54,13 @@ __all__ = ["fused_schur_dir", "fused_fits", "fused_schur_x_pre",
            "fused_schur_y_pre"]
 
 
-def _tiles(shape, dtype, rel: int):
+def _tiles(shape, dtype, rel: int, fp: int = 0):
     """Block sizes for the (rel)-axis kernel, or None when the VMEM budget
     underflows the minimum tile (very long solve axes — round-2 ADVICE #1:
     clamping to the floor would blow the budget and fail at Mosaic compile).
-    Shared by fused_fits (pre-check) and fused_schur_dir (dispatch) so the two
-    can never disagree."""
+    Shared by fused_fits (pre-check), fused_schur_dir (dispatch) and the
+    pre-staged variants so the callers can never disagree.  ``fp`` overrides
+    the VMEM-footprint count (the pre-staged y kernel carries fewer scratches)."""
     itemsize = jnp.dtype(dtype).itemsize
     n = shape[-3 + rel] if rel != 2 else shape[-1]
     if rel == 2:
@@ -68,7 +69,7 @@ def _tiles(shape, dtype, rel: int):
         return (tb,) if tb else None
     # ~20 VMEM footprints for y (6 double-buffered operand blocks + 6 relayout
     # scratches, see _body_y); 14 for z
-    fp = 20 if rel == 1 else 14
+    fp = fp or (20 if rel == 1 else 14)
     tc = _round_down(min(256, _VMEM_BUDGET // (fp * 8 * (n + 1) * itemsize)), 128)
     if tc == 0:
         return None
@@ -429,13 +430,11 @@ def fused_schur_x_pre(acc, v, sT, dmT, lT, bx0: float, bx1: float,
     B = v.size // n
     if n < 4 or B < 512 or sT.shape != (n + 1, B):
         return None
-    itemsize = v.dtype.itemsize
-    npad = _pad_up(n + 1, 128)
-    tb = _round_down(min(1024, _VMEM_BUDGET // (16 * npad * itemsize)), 256)
-    if tb == 0:
+    t = _tiles(v.shape, v.dtype, 2)
+    if t is None:
         return None
     out = _fused_xT(acc.reshape(B, n), v.reshape(B, n), sT, dmT, lT,
-                    bx0, bx1, tb=tb, interpret=interpret)
+                    bx0, bx1, tb=t[0], interpret=interpret)
     return out.reshape(v.shape)
 
 
@@ -456,17 +455,12 @@ def fused_schur_y_pre(acc, v, sT, dmT, lT, bx0: float, bx1: float,
     s0, n, s2 = v.shape[-3], v.shape[-2], v.shape[-1]
     if n < 4 or s0 < 4 or s0 * s2 < 512 or sT.shape != (n + 1, s0, s2):
         return None
-    itemsize = v.dtype.itemsize
     # ~15 footprints: 6 double-buffered cell blocks + 3 staged operand blocks
     # (not double-buffered in effect but budgeted) + 3 scratches
-    tc = _round_down(min(256, _VMEM_BUDGET // (15 * 8 * (n + 1) * itemsize)), 128)
-    if tc == 0:
+    t = _tiles(v.shape[-3:], v.dtype, 1, fp=15)
+    if t is None:
         return None
-    tc = min(tc, _pad_up(s2, 128))
-    ts = _round_down(min(8, _VMEM_BUDGET // (15 * (n + 1) * tc * itemsize)), 8)
-    if ts == 0:
-        return None
-    ts = min(ts, _pad_up(s0, 8))
+    ts, tc = t
     B = v.size // (s0 * n * s2)
     out = _fused_yT(acc.reshape(B, s0, n, s2), v.reshape(B, s0, n, s2),
                     sT, dmT, lT, bx0, bx1, ts=ts, tc=tc, interpret=interpret)

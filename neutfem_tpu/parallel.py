@@ -159,8 +159,14 @@ def shard_context(ctx: Dict, mesh: Mesh, fes: FESpace, grid_axis: GridAxes = 1) 
                         spec[d] = nm
                 spec = P(*spec)
             else:
+                # the HO x kernel's lane-packed operands only slice along a
+                # pure z cut (_fused_sharded_ho declines otherwise) — under any
+                # other cut they are dead weight, so drop them instead of
+                # replicating O(global) bytes on every device
+                if set(amap) != {0}:
+                    continue
                 spec = P()
-                if set(amap) == {0} and fes.mesh.shape[0] % sizes[amap[0]] == 0:
+                if fes.mesh.shape[0] % sizes[amap[0]] == 0:
                     spec = P(*([None] * (len(shape) - 1)), amap[0])
             out[k] = jax.device_put(v, NamedSharding(mesh, spec))
             continue

@@ -102,3 +102,35 @@ def test_fused_dots_single_reduce():
     np.testing.assert_allclose(float(rz), float(jnp.vdot(r, z)), rtol=1e-5)
     np.testing.assert_allclose(float(zq), float(jnp.vdot(z, q)), rtol=1e-5)
     np.testing.assert_allclose(float(rr), float(jnp.vdot(r, r)), rtol=1e-5)
+
+
+def test_dots_complex_conjugation():
+    """_dots must keep jnp.vdot's conjugated-first-operand semantics and return
+    real scalars (the module docstring promises complex pytrees; the round-3
+    fused-reduction refactor briefly dropped both — review finding)."""
+    from neutfem_tpu.krylov import _dots
+
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.standard_normal((4, 6)) + 1j * rng.standard_normal((4, 6)),
+                    jnp.complex64)
+    b = jnp.asarray(rng.standard_normal((4, 6)) + 1j * rng.standard_normal((4, 6)),
+                    jnp.complex64)
+    ab, aa = _dots((a, b), (a, a))
+    assert not jnp.iscomplexobj(ab) and not jnp.iscomplexobj(aa)
+    np.testing.assert_allclose(float(ab), float(jnp.vdot(a, b).real), rtol=1e-5)
+    np.testing.assert_allclose(float(aa), float(jnp.vdot(a, a).real), rtol=1e-5)
+
+
+def test_pcg_complex_operands():
+    """pcg with complex operands and a non-identity preconditioner converges
+    (exercises the _dots path with complex inputs inside the while_loop)."""
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((8, 8)) + 1j * rng.standard_normal((8, 8))
+    M = jnp.asarray(B @ B.conj().T + 8 * np.eye(8), jnp.complex64)  # HPD
+    rhs = jnp.asarray(rng.standard_normal(8) + 1j * rng.standard_normal(8),
+                      jnp.complex64)
+    diag = jnp.real(jnp.diag(M))
+    res = pcg(lambda x: M @ x, rhs, jnp.zeros_like(rhs),
+              precond=lambda r: r / diag, tol=1e-6, maxiter=100)
+    np.testing.assert_allclose(np.asarray(M @ res.x), np.asarray(rhs),
+                               rtol=0, atol=2e-4 * float(jnp.abs(rhs).max()))

@@ -270,9 +270,37 @@ def test_shard_context_stages_ho_operands():
     assert spec_x[-1] == nm
 
     # y cut: the y direction's staged operands are dead weight -> dropped;
-    # x staged operands stay but cannot shard (packed axis mixes the y pad)
+    # the x kernel's lane-packed operands only slice along a pure z cut, so
+    # under a y cut they can never engage either -> also dropped (they would
+    # otherwise replicate O(global) bytes per device)
     sctx = shard_context(ctx, dmesh, fes, grid_axis=1)
     assert f"tri_hoyT_dinvm_{ykey}" not in sctx
     assert f"hoyT_mask_{ykey}" not in sctx
-    spec_x = sctx[f"tri_hoxT_dinvm_{xkey}"].sharding.spec
-    assert all(s is None for s in spec_x)
+    assert f"tri_hoxT_dinvm_{xkey}" not in sctx
+    assert f"hoxT_mask_{xkey}" not in sctx
+
+
+def test_ho_fused_sharded_declines_batched_flux():
+    """sweep="jacobi" passes the un-group-sliced (ng, P, spatial) flux and 4D
+    per-group ctx operands; _fused_sharded_ho must DECLINE (return None, ->
+    unfused condensed chain) exactly like fused_ho_dir, not crash at trace
+    time on the 3D broadcast/specs (round-3 review finding)."""
+    import jax
+
+    from neutfem_tpu.ops.apply import _fused_sharded_ho
+    from neutfem_tpu.parallel import device_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh, fes, ng, ctx = _problem((32, 8, 128), 1, 1)
+    rng = np.random.default_rng(11)
+    v = phi_to_internal(
+        jnp.asarray(rng.normal(size=(ng, *mesh.shape, fes.P)), DT)
+    )  # full (ng, P, nz, ny, nx) — NOT group-sliced
+    dmesh = device_mesh(8)
+    amap = {0: dmesh.axis_names[0]}
+    for di in fes.dirs:
+        tables = ho_coeff_tables(fes, di)
+        res = _fused_sharded_ho((dmesh, amap), fes, di, jnp.zeros_like(v), v,
+                                ctx, tables, interpret=True)
+        assert res is None  # batched flux / un-sliced ctx: must decline
