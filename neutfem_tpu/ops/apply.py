@@ -437,6 +437,125 @@ def _fused_sharded_ho(sh, fes, di, acc, v, ctx, tables, interpret=False):
     )(acc, v, *ops)
 
 
+def eqfold_available(fes: FESpace, ctx: Dict, shape, dtype, a_mode: str,
+                     interpret: bool = False) -> bool:
+    """True iff equilibrated_schur_matvec will take the fully folded kernel
+    chain for per-group flux arrays of this shape/dtype.  All gates are static
+    (shapes, ctx keys, env), so the decision is stable across a jit trace."""
+    import os
+
+    if a_mode != "exact" or fes.et.k != 0 or fes.m != 0 or len(fes.dirs) != 3:
+        return False
+    # Default OFF: both fold strategies measured SLOWER than the classic
+    # wrapper on the real chip (IAEA-3D 988k, same-process alternating A/B:
+    # mode 1 = 7.04, mode 2 = 7.04 vs classic 6.74-6.81 ms/outer median).
+    # XLA already fuses the pre/post scalings into adjacent elementwise chains,
+    # so the fold's extra y/sdi operand reads are a net bandwidth LOSS.  Kept
+    # opt-in + tested for the record, like krylov.pcg_fused.
+    mode = os.environ.get("NEUTFEM_EQFOLD", "0")
+    if mode not in ("1", "2"):
+        return False
+    if os.environ.get("NEUTFEM_PALLAS", "1") == "0":
+        return False
+    if "precond_eq_sdi" not in ctx or "tri_xT_dinvm_d0" not in ctx \
+            or "tri_yT_dinvm_d1" not in ctx or "scale_fused_d2" not in ctx:
+        return False
+    if any(f"cyc_wt_d{di.d}" in ctx for di in fes.dirs):
+        return False  # periodic directions use the Sherman-Morrison path
+    from ..shardctx import current_sharding
+
+    if current_sharding() is not None:
+        return False
+    if not interpret:
+        from .pallas_tridiag import pallas_available
+
+        if not pallas_available():
+            return False
+    from .pallas_fused import eqfold_fits
+
+    return eqfold_fits(shape, dtype, interpret, mode=mode)
+
+
+def equilibrated_schur_matvec(fes: FESpace, ctx: Dict, y, a_mode: str,
+                              interpret: bool = False):
+    """sdi * S(sdi * y) with sdi = diag(S)^-1/2, the symmetrically equilibrated
+    Schur matvec of group_solve, fully folded into the three direction kernels:
+
+    * x kernel folds the pre-scale u = sdi*y and the C*sdi^2 term (and emits u
+      for the later directions),
+    * y kernel is the pre-staged kernel on u,
+    * z kernel folds the final post-scale sdi*(...).
+
+    21 HBM passes instead of the classic wrapper's 27 (the separate pre-scale,
+    C-product and post-scale are 3 passes each; the fold costs 3 extra operand
+    reads).  Two kernel-level strategies, selected by NEUTFEM_EQFOLD:
+
+    * "1": the x kernel materializes u = sdi*y as a second output for the y/z
+      kernels (dual output; the x kernel loses its input/output alias);
+    * "2": every kernel recomputes u = sdi*y in VMEM from the y/sdi
+      operands — u never touches HBM, single outputs, aliases kept.
+
+    ADJUDICATED AGAINST (round 3, real chip, IAEA-3D 988k, alternating A/B):
+    both modes run 7.04 ms/outer median vs 6.74-6.81 for the classic wrapper —
+    XLA fuses the wrapper's pre/post scalings into adjacent elementwise chains,
+    so they were never standalone passes, and the fold's extra per-kernel y/sdi
+    reads are pure added HBM traffic.  Opt-in via NEUTFEM_EQFOLD for the
+    record; default stays the classic wrapper (see eqfold_available).
+
+    Caller must have checked eqfold_available; returns the matvec result."""
+    import os
+
+    from .pallas_fused import (
+        fused_schur_x_eq,
+        fused_schur_x_eq2,
+        fused_schur_y_eq2,
+        fused_schur_y_pre,
+        fused_schur_z_eq,
+        fused_schur_z_eq2,
+    )
+
+    dis = {di.d: di for di in fes.dirs}
+    sdi = ctx["precond_eq_sdi"]
+    ce = ctx["precond_eq_csdi"]
+    bx = lambda d, i: float(dis[d].BX[i, 0, 0])
+    dm_z = jnp.expand_dims(ctx["tri_dinvm_d2"], -4)
+    l_z = jnp.expand_dims(ctx["tri_l_d2"], -4)
+    mode = os.environ.get("NEUTFEM_EQFOLD", "2")
+    if mode == "2":
+        acc = fused_schur_x_eq2(
+            y, sdi, ce, ctx["fusedxT_scale_d0"], ctx["tri_xT_dinvm_d0"],
+            ctx["tri_xT_l_d0"], bx(0, 0), bx(0, 1), interpret=interpret)
+        assert acc is not None, "eqfold x kernel declined after eqfold_available"
+        acc = fused_schur_y_eq2(
+            acc, y, sdi, ctx["fusedyT_scale_d1"], ctx["tri_yT_dinvm_d1"],
+            ctx["tri_yT_l_d1"], bx(1, 0), bx(1, 1), interpret=interpret)
+        assert acc is not None, "eqfold y kernel declined after eqfold_available"
+        out = fused_schur_z_eq2(
+            acc, y, sdi, ctx["scale_fused_d2"], dm_z, l_z,
+            bx(2, 0), bx(2, 1), interpret=interpret)
+        assert out is not None, "eqfold z kernel declined after eqfold_available"
+        return out
+
+    acc_u = fused_schur_x_eq(
+        y, sdi, ce, ctx["fusedxT_scale_d0"],
+        ctx["tri_xT_dinvm_d0"], ctx["tri_xT_l_d0"],
+        bx(0, 0), bx(0, 1), interpret=interpret,
+    )
+    assert acc_u is not None, "eqfold x kernel declined after eqfold_available"
+    acc, u = acc_u
+    acc = fused_schur_y_pre(
+        acc, u, ctx["fusedyT_scale_d1"], ctx["tri_yT_dinvm_d1"],
+        ctx["tri_yT_l_d1"], bx(1, 0), bx(1, 1), interpret=interpret,
+    )
+    assert acc is not None, "eqfold y kernel declined after eqfold_available"
+    out = fused_schur_z_eq(
+        acc, u, ctx["scale_fused_d2"], dm_z, l_z, sdi,
+        bx(2, 0), bx(2, 1), interpret=interpret,
+    )
+    assert out is not None, "eqfold z kernel declined after eqfold_available"
+    return out
+
+
 def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
     """S v = C v + sum_d B_d A_d^{-1} B_d^T v   (matrix-free Schur complement).
 

@@ -22,6 +22,7 @@ All computations here are host-side numpy (build time); results are device array
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax.numpy as jnp
@@ -522,6 +523,17 @@ def build_context(
             ctx_np["precond_blk_inv"] = np.moveaxis(bh_inv, 1, -1).reshape(blk.shape)
 
     ctx_np["precond_inv"] = 1.0 / pre
+    if (et.k == 0 and fes.m == 0
+            and os.environ.get("NEUTFEM_EQFOLD", "0") in ("1", "2")):
+        # Equilibration-folded RT0 matvec operands (ops/pallas_fused.py eq
+        # kernels, OPT-IN — adjudicated slower than the classic wrapper, see
+        # apply.equilibrated_schur_matvec): D^-1/2 = 1/sqrt(diag S) and
+        # C*D^-1/2, staged once.  Gated on the env so the two extra cell-plane
+        # arrays per group never sit in HBM on the default path.
+        # "precond_" prefix => group-sliced by power.ctx_group.
+        sdi_np = 1.0 / np.sqrt(pre)
+        ctx_np["precond_eq_sdi"] = sdi_np
+        ctx_np["precond_eq_csdi"] = C * sdi_np
     if line_offd is not None:
         # Line-tridiagonal preconditioner for the Schur CG: M = x-line part of the
         # (diagonal-A) Schur, factored ONCE on the symmetrically Jacobi-equilibrated

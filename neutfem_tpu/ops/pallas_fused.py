@@ -51,7 +51,8 @@ _VMEM_BUDGET = 12 * 2**20
 _VMEM_LIMIT = 13 * 2**20
 
 __all__ = ["fused_schur_dir", "fused_fits", "fused_schur_x_pre",
-           "fused_schur_y_pre"]
+           "fused_schur_y_pre", "fused_schur_x_eq", "fused_schur_z_eq",
+           "eqfold_fits"]
 
 
 def _tiles(shape, dtype, rel: int, fp: int = 0):
@@ -65,7 +66,8 @@ def _tiles(shape, dtype, rel: int, fp: int = 0):
     n = shape[-3 + rel] if rel != 2 else shape[-1]
     if rel == 2:
         npad = _pad_up(n + 1, 128)
-        tb = _round_down(min(1024, _VMEM_BUDGET // (16 * npad * itemsize)), 256)
+        fp = fp or 16
+        tb = _round_down(min(1024, _VMEM_BUDGET // (fp * npad * itemsize)), 256)
         return (tb,) if tb else None
     # ~20 VMEM footprints for y (6 double-buffered operand blocks + 6 relayout
     # scratches, see _body_y); 14 for z
@@ -209,6 +211,168 @@ def _body_xT(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, vt, ot, *, bx0, bx1)
 
     jax.lax.fori_loop(0, n, bwd, f_next)
     out_ref[:] = acc_ref[:] + vt[:n, :].T
+
+
+def _body_xT_eq(y_ref, sdi_ref, ce_ref, s_ref, dm_ref, l_ref, out_ref, u_ref,
+                vt, ot, *, bx0, bx1):
+    """Equilibration-folded x variant (first direction of the matvec chain):
+    computes u = sdi*y in VMEM (emitted as a second output for the y/z kernels),
+    runs the recurrence on u, and writes out = ce*y + B_x A_x^{-1} B_x^T u where
+    ce = C*sdi (so the last kernel's final sdi scaling yields the C*sdi^2 term of
+    the symmetrically equilibrated Schur operator).  Replaces the separate
+    pre-scale (3 HBM passes) and C-product (3 passes) of the classic wrapper.
+    Blocks: y/sdi/ce/out/u (tb, n); s/dm (n+1, tb); l (n, tb)."""
+    n = y_ref.shape[1]
+    u = y_ref[:] * sdi_ref[:]
+    u_ref[:] = u
+    vt[:] = u.T
+
+    z0 = (bx0 * vt[0, :]) * s_ref[0, :]
+    ot[0, :] = z0
+
+    def fwd(f, z_prev):
+        rf = bx1 * vt[f - 1, :] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1), :]
+        z = rf * s_ref[f, :] - l_ref[f - 1, :] * z_prev
+        ot[f, :] = z
+        return z
+
+    jax.lax.fori_loop(1, n + 1, fwd, z0)
+    f_next = ot[n, :] * dm_ref[n, :]
+    ot[n, :] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = ot[e, :] * dm_ref[e, :] - l_ref[e, :] * f_next
+        vt[e, :] = bx0 * f_e + bx1 * f_next
+        ot[e, :] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
+    out_ref[:] = ce_ref[:] * y_ref[:] + vt[:n, :].T
+
+
+def _body_z_eq(acc_ref, u_ref, s_ref, dm_ref, l_ref, sdi_ref, out_ref, zf,
+               *, bx0, bx1):
+    """Post-scale-folded z variant (last direction of the matvec chain): the
+    recurrence of _body_z on u, with the final symmetric-equilibration scaling
+    out = sdi * (acc + B_z A_z^{-1} B_z^T u) applied in VMEM — replaces the
+    separate post-scale (3 HBM passes).  Blocks as _body_z plus sdi (1,n,ts,tc)."""
+    n = u_ref.shape[1]
+
+    zf[0] = (bx0 * u_ref[0, 0]) * s_ref[0, 0]
+
+    def fwd(f, z_prev):
+        rf = bx1 * u_ref[0, f - 1] + jnp.where(f < n, bx0, 0.0) * u_ref[0, jnp.minimum(f, n - 1)]
+        z = rf * s_ref[0, f] - l_ref[0, f - 1] * z_prev
+        zf[f] = z
+        return z
+
+    z_last = jax.lax.fori_loop(1, n + 1, fwd, zf[0])
+    f_next = z_last * dm_ref[0, n]
+    zf[n] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = zf[e] * dm_ref[0, e] - l_ref[0, e] * f_next
+        out_ref[0, e] = sdi_ref[0, e] * (acc_ref[0, e] + bx0 * f_e + bx1 * f_next)
+        zf[e] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
+
+
+def _body_xT_eq2(y_ref, sdi_ref, ce_ref, s_ref, dm_ref, l_ref, out_ref,
+                 vt, ot, *, bx0, bx1):
+    """Recompute-u x variant: u = sdi*y is formed in VMEM (never materialized
+    in HBM — the y/z kernels recompute it from the same two operands), the
+    C*sdi term folds as ce*y, single output.  Blocks as _body_xT_eq minus the
+    u output."""
+    n = y_ref.shape[1]
+    vt[:] = (y_ref[:] * sdi_ref[:]).T
+
+    z0 = (bx0 * vt[0, :]) * s_ref[0, :]
+    ot[0, :] = z0
+
+    def fwd(f, z_prev):
+        rf = bx1 * vt[f - 1, :] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1), :]
+        z = rf * s_ref[f, :] - l_ref[f - 1, :] * z_prev
+        ot[f, :] = z
+        return z
+
+    jax.lax.fori_loop(1, n + 1, fwd, z0)
+    f_next = ot[n, :] * dm_ref[n, :]
+    ot[n, :] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = ot[e, :] * dm_ref[e, :] - l_ref[e, :] * f_next
+        vt[e, :] = bx0 * f_e + bx1 * f_next
+        ot[e, :] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
+    out_ref[:] = ce_ref[:] * y_ref[:] + vt[:n, :].T
+
+
+def _body_yT_eq2(acc_ref, y_ref, sdi_ref, s_ref, dm_ref, l_ref, out_ref,
+                 zf, vt, ot, *, bx0, bx1):
+    """Recompute-u y variant of _body_yT: relayouts u = sdi*y instead of a
+    pre-materialized u; keeps the acc->out alias."""
+    n = y_ref.shape[2]
+    vt[:] = jnp.swapaxes(y_ref[0] * sdi_ref[0], 0, 1)
+
+    zf[0] = (bx0 * vt[0]) * s_ref[0]
+
+    def fwd(f, z_prev):
+        rf = bx1 * vt[f - 1] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1)]
+        z = rf * s_ref[f] - l_ref[f - 1] * z_prev
+        zf[f] = z
+        return z
+
+    z_last = jax.lax.fori_loop(1, n + 1, fwd, zf[0])
+    f_next = z_last * dm_ref[n]
+    zf[n] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = zf[e] * dm_ref[e] - l_ref[e] * f_next
+        ot[e] = bx0 * f_e + bx1 * f_next
+        zf[e] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
+    out_ref[0] = acc_ref[0] + jnp.swapaxes(ot[:], 0, 1)
+
+
+def _body_z_eq2(acc_ref, y_ref, sdi_ref, s_ref, dm_ref, l_ref, out_ref, zf,
+                *, bx0, bx1):
+    """Recompute-u + post-scale-folded z variant: the recurrence reads
+    u_f = y_f * sdi_f on the fly, and the final symmetric-equilibration scale
+    is applied in VMEM; keeps the acc->out alias."""
+    n = y_ref.shape[1]
+
+    zf[0] = (bx0 * y_ref[0, 0] * sdi_ref[0, 0]) * s_ref[0, 0]
+
+    def fwd(f, z_prev):
+        fc = jnp.minimum(f, n - 1)
+        rf = (bx1 * y_ref[0, f - 1] * sdi_ref[0, f - 1]
+              + jnp.where(f < n, bx0, 0.0) * y_ref[0, fc] * sdi_ref[0, fc])
+        z = rf * s_ref[0, f] - l_ref[0, f - 1] * z_prev
+        zf[f] = z
+        return z
+
+    z_last = jax.lax.fori_loop(1, n + 1, fwd, zf[0])
+    f_next = z_last * dm_ref[0, n]
+    zf[n] = f_next
+
+    def bwd(i, f_next):
+        e = n - 1 - i
+        f_e = zf[e] * dm_ref[0, e] - l_ref[0, e] * f_next
+        out_ref[0, e] = sdi_ref[0, e] * (acc_ref[0, e] + bx0 * f_e + bx1 * f_next)
+        zf[e] = f_e
+        return f_e
+
+    jax.lax.fori_loop(0, n, bwd, f_next)
 
 
 def _body_yT(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, vt, ot, *, bx0, bx1):
@@ -385,6 +549,131 @@ def _fused_xT(acc, v, sT, dmT, lT, bx0: float, bx1: float, tb: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bx0", "bx1", "tb", "interpret"))
+def _fused_xT_eq(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float, tb: int,
+                 interpret: bool = False):
+    B, n = y.shape
+    cell_spec = pl.BlockSpec((tb, n), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    tspec = lambda rows: pl.BlockSpec((rows, tb), lambda b: (0, b),
+                                      memory_space=pltpu.VMEM)
+    kern = functools.partial(_body_xT_eq, bx0=bx0, bx1=bx1)
+    return pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((B, n), y.dtype),
+                   jax.ShapeDtypeStruct((B, n), y.dtype)),
+        grid=(pl.cdiv(B, tb),),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        in_specs=[cell_spec, cell_spec, cell_spec,
+                  tspec(n + 1), tspec(n + 1), tspec(n)],
+        out_specs=(cell_spec, cell_spec),
+        scratch_shapes=[
+            pltpu.VMEM((n, tb), y.dtype),
+            pltpu.VMEM((n + 1, tb), y.dtype),
+        ],
+        interpret=interpret,
+    )(y, sdi, ce, sT, dmT, lT)
+
+
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "ts", "tc", "interpret"))
+def _fused_z_eq(acc, u, s, dm, l, sdi, bx0: float, bx1: float, ts: int, tc: int,
+                interpret: bool = False):
+    B, n, S, C = u.shape
+    spec = lambda rows: pl.BlockSpec((1, rows, ts, tc), lambda b, si, c: (b, 0, si, c),
+                                     memory_space=pltpu.VMEM)
+    kern = functools.partial(_body_z_eq, bx0=bx0, bx1=bx1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, n, S, C), u.dtype),
+        grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 3,
+            vmem_limit_bytes=_VMEM_LIMIT),
+        in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n), spec(n)],
+        out_specs=spec(n),
+        scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), u.dtype)],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, u, s, dm, l, sdi)
+
+
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "tb", "interpret"))
+def _fused_xT_eq2(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float, tb: int,
+                  interpret: bool = False):
+    B, n = y.shape
+    cell_spec = pl.BlockSpec((tb, n), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    tspec = lambda rows: pl.BlockSpec((rows, tb), lambda b: (0, b),
+                                      memory_space=pltpu.VMEM)
+    kern = functools.partial(_body_xT_eq2, bx0=bx0, bx1=bx1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, n), y.dtype),
+        grid=(pl.cdiv(B, tb),),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        in_specs=[cell_spec, cell_spec, cell_spec,
+                  tspec(n + 1), tspec(n + 1), tspec(n)],
+        out_specs=cell_spec,
+        scratch_shapes=[
+            pltpu.VMEM((n, tb), y.dtype),
+            pltpu.VMEM((n + 1, tb), y.dtype),
+        ],
+        interpret=interpret,
+    )(y, sdi, ce, sT, dmT, lT)
+
+
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "ts", "tc", "interpret"))
+def _fused_yT_eq2(acc, y, sdi, sT, dmT, lT, bx0: float, bx1: float, ts: int,
+                  tc: int, interpret: bool = False):
+    B, S, n, C = y.shape
+    cell = pl.BlockSpec((1, ts, n, tc), lambda b, si, c: (b, si, 0, c),
+                        memory_space=pltpu.VMEM)
+    tsp = lambda rows: pl.BlockSpec((rows, ts, tc), lambda b, si, c: (0, si, c),
+                                    memory_space=pltpu.VMEM)
+    kern = functools.partial(_body_yT_eq2, bx0=bx0, bx1=bx1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, S, n, C), y.dtype),
+        grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 3,
+            vmem_limit_bytes=_VMEM_LIMIT),
+        in_specs=[cell, cell, cell, tsp(n + 1), tsp(n + 1), tsp(n)],
+        out_specs=cell,
+        scratch_shapes=[
+            pltpu.VMEM((n + 1, ts, tc), y.dtype),
+            pltpu.VMEM((n, ts, tc), y.dtype),
+            pltpu.VMEM((n, ts, tc), y.dtype),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, y, sdi, sT, dmT, lT)
+
+
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "ts", "tc", "interpret"))
+def _fused_z_eq2(acc, y, sdi, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
+                 interpret: bool = False):
+    B, n, S, C = y.shape
+    spec = lambda rows: pl.BlockSpec((1, rows, ts, tc), lambda b, si, c: (b, 0, si, c),
+                                     memory_space=pltpu.VMEM)
+    kern = functools.partial(_body_z_eq2, bx0=bx0, bx1=bx1)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, n, S, C), y.dtype),
+        grid=(B, pl.cdiv(S, ts), pl.cdiv(C, tc)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 3,
+            vmem_limit_bytes=_VMEM_LIMIT),
+        in_specs=[spec(n), spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
+        out_specs=spec(n),
+        scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), y.dtype)],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, y, sdi, s, dm, l)
+
+
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "tb", "interpret"))
 def _fused_x(acc, v, s, dm, l, bx0: float, bx1: float, tb: int,
              interpret: bool = False):
     B, n = v.shape
@@ -465,6 +754,158 @@ def fused_schur_y_pre(acc, v, sT, dmT, lT, bx0: float, bx1: float,
     out = _fused_yT(acc.reshape(B, s0, n, s2), v.reshape(B, s0, n, s2),
                     sT, dmT, lT, bx0, bx1, ts=ts, tc=tc, interpret=interpret)
     return out.reshape(v.shape)
+
+
+# VMEM footprint counts (x, y, z) per eqfold mode: "1" = dual-output fold
+# (u materialized by the x kernel), "2" = recompute-u fold (each kernel forms
+# u = sdi*y in VMEM from the y/sdi operands; single outputs, aliases kept).
+_EQ_FP = {"1": (20, 15, 16), "2": (20, 17, 16)}
+
+
+def _eq_x_ok(shape, dtype, interpret: bool) -> bool:
+    if not interpret and dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if len(shape) < 3 or any(s != 1 for s in shape[:-3]):
+        return False
+    n = shape[-1]
+    B = 1
+    for s in shape:
+        B *= s
+    B //= n
+    return n >= 4 and B >= 512 and _tiles(shape, dtype, 2, fp=20) is not None
+
+
+def _eq_z_ok(shape, dtype, interpret: bool) -> bool:
+    if not interpret and dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if len(shape) < 3 or any(s != 1 for s in shape[:-3]):
+        return False
+    n, s1, s2 = shape[-3], shape[-2], shape[-1]
+    # same engagement geometry as fused_fits(rel=0), with the +2 operand
+    # footprints (sdi double-buffered) in the VMEM budget
+    return (n >= 4 and s2 >= 64 and s1 * s2 >= 512
+            and _tiles(shape[-3:], dtype, 0, fp=16) is not None)
+
+
+def eqfold_fits(shape, dtype, interpret: bool = False, mode: str = "1") -> bool:
+    """True iff the fully folded equilibrated matvec chain engages for this
+    per-group flux shape, for fold `mode` ("1" dual-output, "2" recompute-u).
+    Static-shape gate shared by ops/apply.equilibrated_schur_matvec and tests."""
+    fpx, fpy, fpz = _EQ_FP.get(mode, _EQ_FP["1"])
+    if not _eq_x_ok(shape, dtype, interpret):
+        return False
+    # y gate (mirrors fused_schur_y_pre geometry, mode-specific VMEM footprint)
+    s0, n, s2 = shape[-3], shape[-2], shape[-1]
+    if n < 4 or s0 < 4 or s2 < 64 or s0 * s2 < 512:
+        return False
+    if _tiles(shape[-3:], dtype, 1, fp=fpy) is None:
+        return False
+    return _eq_z_ok(shape, dtype, interpret)
+
+
+def fused_schur_x_eq(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float,
+                     interpret: bool = False):
+    """(ce*y + B_x A_x^{-1} B_x^T (sdi*y),  sdi*y) with pre-transposed
+    solve-constant operands — the first stage of the equilibration-folded
+    matvec (see equilibrated_schur_matvec in ops/apply.py).  Returns None if
+    the kernel does not engage."""
+    if not _eq_x_ok(y.shape, y.dtype, interpret):
+        return None
+    n = y.shape[-1]
+    B = y.size // n
+    if sT.shape != (n + 1, B):
+        return None
+    t = _tiles(y.shape, y.dtype, 2, fp=20)
+    acc, u = _fused_xT_eq(y.reshape(B, n), sdi.reshape(B, n), ce.reshape(B, n),
+                          sT, dmT, lT, bx0, bx1, tb=t[0], interpret=interpret)
+    return acc.reshape(y.shape), u.reshape(y.shape)
+
+
+def fused_schur_z_eq(acc, u, scale, dinvm, l, sdi, bx0: float, bx1: float,
+                     interpret: bool = False):
+    """sdi * (acc + B_z A_z^{-1} B_z^T u) — the last stage of the
+    equilibration-folded matvec.  Returns None if the kernel does not engage."""
+    if not _eq_z_ok(u.shape, u.dtype, interpret):
+        return None
+    shape = u.shape
+    n = shape[-3]
+    fshape = shape[:-3] + (n + 1,) + shape[-2:]
+    scale_b = jnp.broadcast_to(scale, fshape)
+    dinvm_b = jnp.broadcast_to(dinvm, fshape)
+    l_b = jnp.broadcast_to(l, shape)
+    sdi_b = jnp.broadcast_to(sdi, shape)
+    s0, s1, s2 = shape[-3], shape[-2], shape[-1]
+    B = u.size // (s0 * s1 * s2)
+    ts, tc = _tiles(shape[-3:], u.dtype, 0, fp=16)
+    out = _fused_z_eq(acc.reshape(B, s0, s1, s2), u.reshape(B, s0, s1, s2),
+                      scale_b.reshape(B, s0 + 1, s1, s2),
+                      dinvm_b.reshape(B, s0 + 1, s1, s2),
+                      l_b.reshape(B, s0, s1, s2),
+                      sdi_b.reshape(B, s0, s1, s2),
+                      bx0, bx1, ts=ts, tc=tc, interpret=interpret)
+    return out.reshape(shape)
+
+
+def fused_schur_x_eq2(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float,
+                      interpret: bool = False):
+    """ce*y + B_x A_x^{-1} B_x^T (sdi*y), recompute-u variant (u formed in VMEM,
+    single output).  Returns None if the kernel does not engage."""
+    if not _eq_x_ok(y.shape, y.dtype, interpret):
+        return None
+    n = y.shape[-1]
+    B = y.size // n
+    if sT.shape != (n + 1, B):
+        return None
+    t = _tiles(y.shape, y.dtype, 2, fp=_EQ_FP["2"][0])
+    out = _fused_xT_eq2(y.reshape(B, n), sdi.reshape(B, n), ce.reshape(B, n),
+                        sT, dmT, lT, bx0, bx1, tb=t[0], interpret=interpret)
+    return out.reshape(y.shape)
+
+
+def fused_schur_y_eq2(acc, y, sdi, sT, dmT, lT, bx0: float, bx1: float,
+                      interpret: bool = False):
+    """acc + B_y A_y^{-1} B_y^T (sdi*y), recompute-u variant with pre-staged
+    solve-axis-major operands.  Returns None if the kernel does not engage."""
+    if not interpret and y.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    if y.ndim < 3 or y.shape[-1] < 64 or any(s != 1 for s in y.shape[:-3]):
+        return None
+    s0, n, s2 = y.shape[-3], y.shape[-2], y.shape[-1]
+    if n < 4 or s0 < 4 or s0 * s2 < 512 or sT.shape != (n + 1, s0, s2):
+        return None
+    t = _tiles(y.shape[-3:], y.dtype, 1, fp=_EQ_FP["2"][1])
+    if t is None:
+        return None
+    B = y.size // (s0 * n * s2)
+    out = _fused_yT_eq2(acc.reshape(B, s0, n, s2), y.reshape(B, s0, n, s2),
+                        sdi.reshape(B, s0, n, s2), sT, dmT, lT,
+                        bx0, bx1, ts=t[0], tc=t[1], interpret=interpret)
+    return out.reshape(y.shape)
+
+
+def fused_schur_z_eq2(acc, y, sdi, scale, dinvm, l, bx0: float, bx1: float,
+                      interpret: bool = False):
+    """sdi * (acc + B_z A_z^{-1} B_z^T (sdi*y)) — recompute-u + post-scale fold.
+    Returns None if the kernel does not engage."""
+    if not _eq_z_ok(y.shape, y.dtype, interpret):
+        return None
+    shape = y.shape
+    n = shape[-3]
+    fshape = shape[:-3] + (n + 1,) + shape[-2:]
+    scale_b = jnp.broadcast_to(scale, fshape)
+    dinvm_b = jnp.broadcast_to(dinvm, fshape)
+    l_b = jnp.broadcast_to(l, shape)
+    sdi_b = jnp.broadcast_to(sdi, shape)
+    s0, s1, s2 = shape[-3], shape[-2], shape[-1]
+    B = y.size // (s0 * s1 * s2)
+    ts, tc = _tiles(shape[-3:], y.dtype, 0, fp=_EQ_FP["2"][2])
+    out = _fused_z_eq2(acc.reshape(B, s0, s1, s2), y.reshape(B, s0, s1, s2),
+                       sdi_b.reshape(B, s0, s1, s2),
+                       scale_b.reshape(B, s0 + 1, s1, s2),
+                       dinvm_b.reshape(B, s0 + 1, s1, s2),
+                       l_b.reshape(B, s0, s1, s2),
+                       bx0, bx1, ts=ts, tc=tc, interpret=interpret)
+    return out.reshape(shape)
 
 
 def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,

@@ -170,8 +170,19 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
             iterations=jnp.asarray(1, jnp.int32),
             residual=jnp.asarray(0.0, rhs.dtype),
         )
-    sdi = jnp.sqrt(ctxg["precond_inv"])  # D^-1/2
-    matvec = lambda y: sdi * schur_matvec(fes, ctxg, y * sdi, a_mode=opts.a_mode)
+    from .ops.apply import eqfold_available, equilibrated_schur_matvec
+
+    if eqfold_available(fes, ctxg, rhs.shape, rhs.dtype, opts.a_mode):
+        # Opt-in (NEUTFEM_EQFOLD=1|2, measured SLOWER than the classic wrapper
+        # on hardware — see equilibrated_schur_matvec): pre-scale, C-product
+        # and post-scale folded into the direction kernels; use the staged
+        # D^-1/2 so rhs/x0 scaling is bit-consistent with the kernels.
+        sdi = ctxg["precond_eq_sdi"]
+        matvec = lambda y: equilibrated_schur_matvec(fes, ctxg, y,
+                                                     a_mode=opts.a_mode)
+    else:
+        sdi = jnp.sqrt(ctxg["precond_inv"])  # D^-1/2
+        matvec = lambda y: sdi * schur_matvec(fes, ctxg, y * sdi, a_mode=opts.a_mode)
     if opts.inner_solver == "cg":
         # Textbook PCG by default.  The Chronopoulos-Gear fused-reduction variant
         # (NEUTFEM_CGCG=1) was built for the round-2 lead ("CG dot products are

@@ -118,6 +118,45 @@ def test_fused_pre_staged_matches_broadcast_kernel(d):
     assert res is None
 
 
+@pytest.mark.parametrize("mode", ["1", "2"])
+def test_eqfold_matches_classic_wrapper(mode, monkeypatch):
+    """The equilibration-folded chain must equal the classic wrapper
+    sdi * S(sdi*y) per group, in both kernel strategies: mode 1 (the x kernel
+    materializes u = sdi*y as a second output) and mode 2 (every kernel
+    recomputes u in VMEM)."""
+    from neutfem_tpu.ops.apply import (
+        eqfold_available,
+        equilibrated_schur_matvec,
+    )
+    from neutfem_tpu.power import ctx_group
+
+    monkeypatch.setenv("NEUTFEM_EQFOLD", mode)
+    mesh, fes, ng, ctx = _problem((16, 32, 64))
+    rng = np.random.default_rng(11)
+    for g in range(ng):
+        ctxg = ctx_group(ctx, g)
+        y = jnp.asarray(rng.normal(size=(1, *mesh.shape)), DT)
+        assert eqfold_available(fes, ctxg, y.shape, y.dtype, "exact",
+                                interpret=True)
+        got = equilibrated_schur_matvec(fes, ctxg, y, "exact", interpret=True)
+        sdi = jnp.sqrt(ctxg["precond_inv"])
+        want = sdi * schur_matvec(fes, ctxg, y * sdi, a_mode="exact")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-5)
+
+    # gates: small shapes, wrong order, and batched layouts must decline
+    assert not eqfold_available(fes, ctx_group(ctx, 0), (1, 3, 4, 8), DT,
+                                "exact", interpret=True)
+    assert not eqfold_available(fes, ctx_group(ctx, 0), (ng, 1, *mesh.shape), DT,
+                                "exact", interpret=True)
+    assert not eqfold_available(fes, ctx_group(ctx, 0), (1, *mesh.shape), DT,
+                                "diag", interpret=True)
+    # mode "0" disables the fold entirely
+    monkeypatch.setenv("NEUTFEM_EQFOLD", "0")
+    assert not eqfold_available(fes, ctx_group(ctx, 0), (1, *mesh.shape), DT,
+                                "exact", interpret=True)
+
+
 def test_fused_declines_small_shapes():
     mesh, fes, ng, ctx = _problem((3, 4, 8))
     v = jnp.zeros((ng, 1, *mesh.shape), DT)
