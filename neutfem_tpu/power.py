@@ -202,7 +202,13 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
         if fes.P > 1:
             pc_mode = "block"
         else:
-            pc_mode = "line" if fes.mesh.n_elements >= 2_000_000 else "jacobi"
+            # Crossover measured on the real chip (round 3, same-process
+            # alternating A/B, IAEA-3D): at 2.6M cells the line solve's extra
+            # ~0.08 ms/inner outweighs its 9% inner savings (jacobi 28.66 vs
+            # line 29.50 ms/outer); at 3.5M the 17% inner savings win (line
+            # 44.31 vs jacobi 45.86).  CG conditioning grows ~h^-1, so the
+            # line preconditioner pays off only once meshes get fine enough.
+            pc_mode = "line" if fes.mesh.n_elements >= 3_000_000 else "jacobi"
     if pc_mode == "block" and "precond_blk_inv" in ctxg:
         # P x P per-cell block-Jacobi (higher orders): captures the inter-mode
         # coupling of the Schur diagonal block that pointwise Jacobi ignores
