@@ -36,7 +36,7 @@ from neutfem_tpu import config
 from neutfem_tpu.bc import BCKind, BCSpec
 from neutfem_tpu.coarse import coarse_init, coarsen_xs
 from neutfem_tpu.fespace import FESpace, make_fespace
-from neutfem_tpu.mesh import CartesianMesh
+from neutfem_tpu.mesh import CartesianMesh, boundary_attribute
 from neutfem_tpu.ops.context import build_context
 from neutfem_tpu.power import (
     SolveOptions,
@@ -169,6 +169,35 @@ def _subcell_average_matrix(order: int, r: int) -> np.ndarray:
     return T
 
 
+def _choose_axis_perm(mesh: CartesianMesh):
+    """Pick the internal cartesian-axis order (x', y', z') = (perm[0], perm[1],
+    perm[2]) minimizing TPU physical-layout padding: the minor (x') axis pads to
+    a multiple of 128 lanes, the second-minor (y') to a multiple of 8 sublanes.
+    Identity unless a permutation is at least ~2% better (stability: don't churn
+    layouts for noise).  NEUTFEM_AXISPERM=0 disables."""
+    if os.environ.get("NEUTFEM_AXISPERM", "auto") in ("0", "off", "none"):
+        return (0, 1, 2)
+    if mesh.dim == 1:
+        return (0, 1, 2)
+    n = {0: mesh.nx, 1: mesh.ny, 2: mesh.nz}
+
+    def _pad(v: int, t: int) -> int:
+        return -(-v // t) * t
+
+    def waste(p):
+        return (_pad(n[p[0]], 128) / n[p[0]]) * (_pad(n[p[1]], 8) / n[p[1]])
+
+    if mesh.dim == 2:
+        perms = [(0, 1, 2), (1, 0, 2)]
+    else:
+        perms = [(a, b, c) for a in range(3) for b in range(3) for c in range(3)
+                 if {a, b, c} == {0, 1, 2}]
+    best = min(perms, key=lambda p: (waste(p), p != (0, 1, 2), p))
+    if waste(best) > 0.98 * waste((0, 1, 2)):
+        return (0, 1, 2)
+    return best
+
+
 class NeutFEM:
     """Reference-compatible solver facade (wrapper.cpp:274-1065)."""
 
@@ -203,7 +232,37 @@ class NeutFEM:
             p_order = rt_order  # inf-sup guard (NeutFEM.cpp:149-169)
 
         self._mesh = CartesianMesh.from_breaks(xb, yb, zb)
-        self._fes: FESpace = make_fespace(self._mesh, rt_order, p_order)
+        # Internal axis orientation (TPU physical-layout optimization, round 3):
+        # the solver treats x/y/z symmetrically, but the TPU pads the minor array
+        # axis to 128 lanes and the second-minor to 8 sublanes — a 152-wide minor
+        # dim physically occupies 256 lanes (59% utilization) while a 114-wide
+        # one occupies 128 (89%).  We therefore solve the RELABELED problem whose
+        # axis order minimizes padding waste and convert at every IO boundary
+        # (measured on IAEA-3D 8x8x6, 2.6M cells: 28.7 -> 17.0 ms/outer, k equal
+        # to f32 roundoff).  self._axperm[c] = the user cartesian axis (0=x,1=y,
+        # 2=z) that internal cartesian axis c takes; identity when no permutation
+        # helps or NEUTFEM_AXISPERM=0.  The user-facing surface (XS views, flux
+        # getters, VTK, checkpoints, projections) stays in user orientation.
+        self._axperm = _choose_axis_perm(self._mesh)
+        if self._axperm != (0, 1, 2):
+            ub = {0: xb, 1: yb, 2: zb}
+            self._imesh = CartesianMesh.from_breaks(
+                ub[self._axperm[0]], ub[self._axperm[1]], ub[self._axperm[2]])
+        else:
+            self._imesh = self._mesh
+        self._fes: FESpace = make_fespace(self._imesh, rt_order, p_order)
+        # Flux-mode gather for P > 1 under a non-identity perm: user mode q's
+        # coefficient lives at internal mode index _mode_gather[q] (exponent
+        # tuples permuted; the mode LIST itself is perm-invariant because the
+        # active axes keep the same order set).
+        self._mode_gather = None
+        if self._axperm != (0, 1, 2) and self._fes.P > 1:
+            M = self._fes.modes
+            idx = {tuple(int(v) for v in M[i]): i for i in range(self._fes.P)}
+            p = self._axperm
+            self._mode_gather = np.array(
+                [idx[tuple(int(M[q][p[c]]) for c in range(3))]
+                 for q in range(self._fes.P)], dtype=np.int64)
         self._ng = ng
         self._rt_order = rt_order
         self._p_order = p_order
@@ -267,12 +326,85 @@ class NeutFEM:
             return arr[..., 0, :, :]
         return arr[..., 0, 0, :]
 
+    # -- internal axis orientation (see __init__) -----------------------------
+
+    def _perm_axes(self, ndim: int, tail: int, inverse: bool) -> list:
+        """Transpose spec for the last-3 spatial axes (at offset ``tail`` from the
+        end) between user and internal orientation.  Cartesian axis c (0=x,1=y,
+        2=z) sits at array position ndim-1-tail-c."""
+        p = self._axperm
+        axes = list(range(ndim))
+        base = ndim - 1 - tail
+        if not inverse:  # user -> internal: internal cart c takes user cart p[c]
+            for c in range(3):
+                axes[base - c] = base - p[c]
+        else:
+            for c in range(3):
+                axes[base - p[c]] = base - c
+        return axes
+
+    def _to_internal(self, a, tail: int = 0):
+        if a is None or self._axperm == (0, 1, 2):
+            return a
+        a = np.asarray(a)
+        return np.transpose(a, self._perm_axes(a.ndim, tail, False))
+
+    def _to_user(self, a, tail: int = 0):
+        if a is None or self._axperm == (0, 1, 2):
+            return a
+        a = np.asarray(a)
+        return np.transpose(a, self._perm_axes(a.ndim, tail, True))
+
+    def _phi_to_user(self, phi):
+        """Internal flux (ng, nz', ny', nx', P) -> user orientation + mode order."""
+        if phi is None or self._axperm == (0, 1, 2):
+            return None if phi is None else np.asarray(phi)
+        out = self._to_user(phi, tail=1)
+        if self._mode_gather is not None:
+            out = out[..., self._mode_gather]
+        return out
+
+    def _phi_from_user(self, phi):
+        if phi is None or self._axperm == (0, 1, 2):
+            return phi
+        a = np.asarray(phi)
+        if self._mode_gather is not None:
+            a = a[..., np.argsort(self._mode_gather)]
+        return self._to_internal(a, tail=1)
+
+    def _ixs(self) -> Dict[str, np.ndarray]:
+        """XS dict in internal orientation (the user views stay user-oriented)."""
+        if self._axperm == (0, 1, 2):
+            return self._xs
+        return {k: self._to_internal(v) for k, v in self._xs.items()}
+
+    def _ibcs(self) -> BCSpec:
+        """BCSpec with boundary attributes remapped to internal axes."""
+        if self._axperm == (0, 1, 2):
+            return self._bcs
+        b = BCSpec(robin_alpha=self._bcs.robin_alpha,
+                   robin_beta=self._bcs.robin_beta)
+        dim = self._mesh.dim
+        for c in range(dim):
+            for upper in (False, True):
+                a_user = boundary_attribute(dim, self._axperm[c], upper)
+                if a_user in self._bcs.kinds:
+                    a_int = boundary_attribute(dim, c, upper)
+                    b.kinds[a_int] = self._bcs.kinds[a_user]
+                    b.values[a_int] = self._bcs.values[a_user]
+        return b
+
+    def _ifactors(self, factors: Sequence[int]):
+        """Per-axis (x, y, z) refine/coarsen factors, user -> internal order."""
+        f = [int(v) for v in factors] + [1] * max(0, 3 - len(factors))
+        return tuple(f[self._axperm[c]] for c in range(3))
+
     def _ctx(self, a_mode: str):
         if not self._built:
             raise RuntimeError("BuildMatrices() must be called before solving")
         if a_mode not in self._ctx_cache:
             self._ctx_cache[a_mode] = build_context(
-                self._fes, self._ng, self._xs, self._bcs,
+                self._fes, self._ng, self._ixs(), self._ibcs(),
                 a_mode=a_mode, dtype=self._dtype, marshak_d_factor=True,
             )
         ctx = self._ctx_cache[a_mode]
@@ -363,7 +495,8 @@ class NeutFEM:
         return self is other
 
     def _flat_phi(self):
-        return jnp.ones((self._ng, *self._mesh.shape, self._fes.P), dtype=self._dtype)
+        # internal orientation (feeds the solver; constant, so no conversion)
+        return jnp.ones((self._ng, *self._imesh.shape, self._fes.P), dtype=self._dtype)
 
     # -- configuration (wrapper.cpp:401-571) ---------------------------------
 
@@ -518,10 +651,14 @@ class NeutFEM:
         path = self._ckpt_path(path)
         data = {"keff": np.array(self._keff if self._keff is not None else np.nan),
                 "keff_adj": np.array(self._keff_adj if self._keff_adj is not None else np.nan)}
+        # flux is stored in USER orientation (portable across NEUTFEM_AXISPERM
+        # settings); currents keep the internal orientation they were produced
+        # in, tagged with the perm so a mismatched load can drop them.
         if self._phi is not None:
-            data["phi"] = np.asarray(self._phi)
+            data["phi"] = self._phi_to_user(self._phi)
         if self._phi_adj is not None:
-            data["phi_adj"] = np.asarray(self._phi_adj)
+            data["phi_adj"] = self._phi_to_user(self._phi_adj)
+        data["axperm"] = np.array(self._axperm, dtype=np.int64)
         for jname, J in (("J", self._J), ("J_adj", self._J_adj)):
             if J is None:
                 continue
@@ -540,13 +677,29 @@ class NeutFEM:
                     f"solver's {expected} (mesh/groups/order differ)"
                 )
             if "phi" in z:
-                self._phi = jnp.asarray(z["phi"], dtype=self._dtype)
+                self._phi = jnp.asarray(self._phi_from_user(z["phi"]),
+                                        dtype=self._dtype)
             if "phi_adj" in z:
-                self._phi_adj = jnp.asarray(z["phi_adj"], dtype=self._dtype)
+                self._phi_adj = jnp.asarray(self._phi_from_user(z["phi_adj"]),
+                                            dtype=self._dtype)
             k = float(z["keff"])
             self._keff = None if np.isnan(k) else k
             ka = float(z["keff_adj"])
             self._keff_adj = None if np.isnan(ka) else ka
+            # currents were saved in the writer's internal orientation; drop
+            # them if it differs from ours (they are an export convenience and
+            # are regenerated by the next solve)
+            saved_perm = tuple(int(v) for v in z["axperm"]) if "axperm" in z \
+                else (0, 1, 2)
+            if saved_perm != self._axperm:
+                warnings.warn(
+                    f"checkpoint currents were saved with internal axis order "
+                    f"{saved_perm} but this solver uses {self._axperm}; "
+                    "dropping J/J_adj (flux and eigenvalues are restored)",
+                    RuntimeWarning)
+                self._J = None
+                self._J_adj = None
+                return
             J: Dict = {}
             J_adj: Dict = {}
             for key in z.files:
@@ -620,7 +773,8 @@ class NeutFEM:
         phi0 = self._phi if self._phi is not None else self._flat_phi()
         if use_coarse_init and len(coarse_factors) > 0:
             k_c, phi0 = coarse_init(
-                self._fes, self._ng, self._xs, self._bcs, tuple(coarse_factors),
+                self._fes, self._ng, self._ixs(), self._ibcs(),
+                self._ifactors(coarse_factors),
                 self._opts("exact"), self._dtype, marshak_d_factor=True,
             )
             keff0 = float(k_c)
@@ -690,7 +844,7 @@ class NeutFEM:
         self._resolved_solver_kind = None  # re-resolve the direct-solver gate per solve
         ctx = self._ctx("exact")
         opts = self._opts("exact")
-        phi0 = jnp.zeros((self._ng, *self._mesh.shape, self._fes.P), dtype=self._dtype)
+        phi0 = jnp.zeros((self._ng, *self._imesh.shape, self._fes.P), dtype=self._dtype)
         res = solve_subcritical(self._fes, self._ng, opts, ctx, phi0,
                                 keff=self._keff or 1.0)
         host = jax.device_get({"amplification": res["amplification"],
@@ -712,12 +866,12 @@ class NeutFEM:
     def SolveCoarse(self, refine: Sequence[int]):
         """Coarse solve + P0 injection (NeutFEM.cpp:2380-2611). Returns (k, flux)."""
         k_c, phi0 = coarse_init(
-            self._fes, self._ng, self._xs, self._bcs, tuple(refine),
+            self._fes, self._ng, self._ixs(), self._ibcs(), self._ifactors(refine),
             self._opts("exact"), self._dtype, marshak_d_factor=True,
         )
         self._phi = phi0
         self._keff = float(k_c)
-        return float(k_c), np.asarray(phi0[..., 0])
+        return float(k_c), self._to_user(np.asarray(phi0[..., 0]))
 
     # -- projection / zoom (wrapper.cpp:1003-1064, unimplemented upstream) ----
 
@@ -735,7 +889,9 @@ class NeutFEM:
             raise RuntimeError("no flux available: solve first")
         rx, ry, rz = self._refine_factors(refine)
         fes = self._fes
-        phi = np.asarray(phi)  # (ng, nz, ny, nx, P)
+        # user orientation (+ mode reorder); the mode LIST is perm-invariant,
+        # so fes.modes below indexes correctly either way
+        phi = self._phi_to_user(phi)  # (ng, nz, ny, nx, P)
         Ts = {0: _subcell_average_matrix(fes.m, rx),
               1: _subcell_average_matrix(fes.m, ry),
               2: _subcell_average_matrix(fes.m, rz)}
@@ -813,7 +969,7 @@ class NeutFEM:
         face values per direction (reference VTK export convention)."""
         if J is None:
             return None
-        out = np.zeros((self._ng, *self._mesh.shape, 3))
+        out = np.zeros((self._ng, *self._imesh.shape, 3))
         for di in self._fes.dirs:
             F = np.asarray(J[f"d{di.d}"]["face"])[..., 0]  # t=0 transverse mode
             ax = di.axis + 1
@@ -826,6 +982,11 @@ class NeutFEM:
             scale = np.asarray(ctx[f"jscale_{f'd{di.d}'}"])
             Fp = F * scale
             out[..., di.d] = 0.5 * (Fp[tuple(sl_lo)] + Fp[tuple(sl_hi)])
+        if self._axperm != (0, 1, 2):
+            # spatial axes back to user orientation, and vector component c
+            # (current along internal cartesian axis c) back to user axis
+            # self._axperm[c]
+            out = self._to_user(out, tail=1)[..., np.argsort(self._axperm)]
         return out
 
     def ExportVTK(self, filename: str, export_flux: bool = True,
@@ -869,12 +1030,13 @@ class NeutFEM:
     def get_flux_full(self) -> Optional[np.ndarray]:
         if self._phi is None:
             return None
-        return np.asarray(self._phi[..., 0])  # P0 (cell-average) component
+        # P0 (cell-average) component; mode 0 is (0,0,0) under every axis perm
+        return self._to_user(np.asarray(self._phi[..., 0]))
 
     def get_flux_adj_full(self) -> Optional[np.ndarray]:
         if self._phi_adj is None:
             return None
-        return np.asarray(self._phi_adj[..., 0])
+        return self._to_user(np.asarray(self._phi_adj[..., 0]))
 
     def get_flux(self):
         full = self.get_flux_full()
