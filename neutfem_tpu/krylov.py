@@ -91,12 +91,19 @@ def pcg(
     precond: Optional[Callable] = None,
     tol: float = 1e-10,
     maxiter: int = 1000,
+    precond_dots: Optional[Callable] = None,
 ) -> KrylovResult:
     """Preconditioned conjugate gradient on an SPD operator (textbook loop).
 
     With ``precond=None`` the identity preconditioner is specialized away: no z
-    vector and no separate r.z reduction (rz == rr)."""
-    identity_pc = precond is None
+    vector and no separate r.z reduction (rz == rr).
+
+    ``precond_dots`` (optional, overrides ``precond``): a fused callable
+    ``r -> (z, rz, rr)`` producing the preconditioned residual together with
+    BOTH reductions in one pass — used by the Pallas block-Jacobi kernel
+    (ops/pallas_blockjac.py) so the P x P block tensor is streamed once per
+    iteration instead of feeding three separate XLA kernels."""
+    identity_pc = precond is None and precond_dots is None
     if identity_pc:
         precond = lambda r: r
 
@@ -109,13 +116,16 @@ def pcg(
     zero_rhs = b_norm_sq == 0.0
 
     r0 = jax.tree_util.tree_map(lambda b, ax: b - ax, rhs, matvec(x0))
-    rr0 = _dot(r0, r0).real
-    tiny = _breakdown_tiny(rr0.dtype)
-    if identity_pc:
-        z0, rz0 = r0, rr0
+    if precond_dots is not None:
+        z0, rz0, rr0 = precond_dots(r0)
     else:
-        z0 = precond(r0)
-        rz0 = _dot(r0, z0).real
+        rr0 = _dot(r0, r0).real
+        if identity_pc:
+            z0, rz0 = r0, rr0
+        else:
+            z0 = precond(r0)
+            rz0 = _dot(r0, z0).real
+    tiny = _breakdown_tiny(rr0.dtype)
 
     def cond(state):
         _, _, _, _, rr, _, it, brk = state
@@ -130,7 +140,9 @@ def pcg(
         alpha = jnp.where(breakdown, 0.0, alpha)
         x = _axpy(alpha, p, x)
         r = _axpy(-alpha, q, r)
-        if identity_pc:
+        if precond_dots is not None:
+            z, rz_new, rr_new = precond_dots(r)
+        elif identity_pc:
             rr_new = _dot(r, r).real
             z, rz_new = r, rr_new
         else:

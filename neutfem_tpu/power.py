@@ -209,6 +209,7 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
             # 44.31 vs jacobi 45.86).  CG conditioning grows ~h^-1, so the
             # line preconditioner pays off only once meshes get fine enough.
             pc_mode = "line" if fes.mesh.n_elements >= 3_000_000 else "jacobi"
+    precond_dots = None
     if pc_mode == "block" and "precond_blk_inv" in ctxg:
         # P x P per-cell block-Jacobi (higher orders): captures the inter-mode
         # coupling of the Schur diagonal block that pointwise Jacobi ignores
@@ -216,6 +217,28 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
         # elementwise, so it needs no sharding special-case.
         bi = ctxg["precond_blk_inv"]
         precond = lambda r: jnp.einsum("...pqabc,...qabc->...pabc", bi, r)
+        if (solver is pcg and _os.environ.get("NEUTFEM_BLOCKJAC", "0") == "1"):
+            # Fused Pallas apply+reductions (z, <r,z>, <r,r> in one pass over
+            # the (P, P, cells) block tensor).  ADJUDICATED AGAINST on the real
+            # chip (round 3, RT1-P1 988k, alternating A/B): 87.3 vs 61.5
+            # ms/outer — the step is COMPUTE-comparable (P^2 bf16
+            # convert-multiply-adds per cell), XLA already fuses the einsum
+            # with the neighboring CG axpys, and the pallas_call is a fusion
+            # barrier.  Same physics as the eqfold/CGCG losses: XLA-op-boundary
+            # bandwidth accounting overcounts.  Opt-in for the record.
+            from .ops.pallas_blockjac import blockjac_fits
+            from .ops.pallas_tridiag import pallas_available
+            from .shardctx import current_sharding
+
+            if (current_sharding() is None and pallas_available()
+                    and blockjac_fits(fes.P, bi.shape[2:], rhs.dtype, bi.dtype)):
+                from .ops.pallas_blockjac import blockjac_dots
+
+                def precond_dots(r, _bi=bi):
+                    out = blockjac_dots(_bi, r)
+                    assert out is not None, \
+                        "blockjac kernel declined after blockjac_fits"
+                    return out
     if pc_mode in ("line", "line2") and "precond_line_dinv" in ctxg:
         from .fespace import GRID_AXIS
         from .ops.tridiag import tridiag_solve
@@ -263,8 +286,9 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
             precond = applies[0]
         elif applies:
             precond = lambda r: applies[0](r) + applies[1](r)
+    kw = {"precond_dots": precond_dots} if precond_dots is not None else {}
     res = solver(matvec, rhs * sdi, x0 / sdi, precond=precond,
-                 tol=opts.inner_tol, maxiter=opts.max_inner)
+                 tol=opts.inner_tol, maxiter=opts.max_inner, **kw)
     return res._replace(x=res.x * sdi)
 
 
