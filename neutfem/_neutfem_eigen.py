@@ -36,7 +36,7 @@ from neutfem_tpu import config
 from neutfem_tpu.bc import BCKind, BCSpec
 from neutfem_tpu.coarse import coarse_init, coarsen_xs
 from neutfem_tpu.fespace import FESpace, make_fespace
-from neutfem_tpu.mesh import CartesianMesh, boundary_attribute
+from neutfem_tpu.mesh import CartesianMesh, best_axis_order, boundary_attribute
 from neutfem_tpu.ops.context import build_context
 from neutfem_tpu.power import (
     SolveOptions,
@@ -169,33 +169,10 @@ def _subcell_average_matrix(order: int, r: int) -> np.ndarray:
     return T
 
 
-def _choose_axis_perm(mesh: CartesianMesh):
-    """Pick the internal cartesian-axis order (x', y', z') = (perm[0], perm[1],
-    perm[2]) minimizing TPU physical-layout padding: the minor (x') axis pads to
-    a multiple of 128 lanes, the second-minor (y') to a multiple of 8 sublanes.
-    Identity unless a permutation is at least ~2% better (stability: don't churn
-    layouts for noise).  NEUTFEM_AXISPERM=0 disables."""
-    if os.environ.get("NEUTFEM_AXISPERM", "auto") in ("0", "off", "none"):
-        return (0, 1, 2)
-    if mesh.dim == 1:
-        return (0, 1, 2)
-    n = {0: mesh.nx, 1: mesh.ny, 2: mesh.nz}
-
-    def _pad(v: int, t: int) -> int:
-        return -(-v // t) * t
-
-    def waste(p):
-        return (_pad(n[p[0]], 128) / n[p[0]]) * (_pad(n[p[1]], 8) / n[p[1]])
-
-    if mesh.dim == 2:
-        perms = [(0, 1, 2), (1, 0, 2)]
-    else:
-        perms = [(a, b, c) for a in range(3) for b in range(3) for c in range(3)
-                 if {a, b, c} == {0, 1, 2}]
-    best = min(perms, key=lambda p: (waste(p), p != (0, 1, 2), p))
-    if waste(best) > 0.98 * waste((0, 1, 2)):
-        return (0, 1, 2)
-    return best
+# The padding-waste heuristic lives in the core (neutfem_tpu.mesh) so core-API
+# users can relabel their own problems; the compat layer applies it
+# automatically below (see __init__).
+_choose_axis_perm = best_axis_order
 
 
 class NeutFEM:

@@ -122,6 +122,39 @@ def test_coarse_init_and_zoom_match_identity(monkeypatch):
                                s0.zoom_resolved((2, 1, 1)), rtol=1e-5, atol=1e-7)
 
 
+def test_periodic_and_valued_neumann_match_identity(monkeypatch):
+    """PERIODIC pairs and nonzero-NEUMANN values must survive the boundary-
+    attribute remap: periodic on user x (which relabels to internal z under
+    the (2,1,0) perm), a prescribed inward current on the -y face, Dirichlet
+    elsewhere."""
+    def build(axisperm):
+        monkeypatch.setenv("NEUTFEM_AXISPERM", axisperm)
+        s = NeutFEM(0, 2, np.linspace(0.0, 60.0, 5), np.linspace(0.0, 90.0, 7),
+                    np.linspace(0.0, 240.0, 17))
+        for upper in (False, True):
+            s.set_bc(boundary_attribute(3, 0, upper), BCType.PERIODIC, 0.0)
+            s.set_bc(boundary_attribute(3, 2, upper), BCType.DIRICHLET, 0.0)
+        s.set_bc(boundary_attribute(3, 1, False), BCType.NEUMANN, 0.35)
+        s.set_bc(boundary_attribute(3, 1, True), BCType.DIRICHLET, 0.0)
+        D = s.get_D(); SigR = s.get_SigR(); SigS = s.get_SigS()
+        D[0], D[1] = 1.3, 0.5
+        SigR[0], SigR[1] = 0.04, 0.11
+        SigR[1, :, :, :2] = 0.16  # x-asymmetry (periodic direction)
+        SigS[1, 0] = 0.02
+        s.get_SRC()[:] = 0.4
+        s.BuildMatrices()
+        s.set_tol(1e-7, 1e-7, 1e-7, 200, 400)
+        return s
+
+    sp, s0 = build("auto"), build("0")
+    assert sp._axperm == (2, 1, 0) and s0._axperm == (0, 1, 2)
+    # fixed-source subcritical solve exercises the source + BC machinery
+    mp, m0 = sp.SolveSubcritical(), s0.SolveSubcritical()
+    np.testing.assert_allclose(mp, m0, rtol=1e-10)
+    np.testing.assert_allclose(sp.get_flux(), s0.get_flux(), rtol=1e-8,
+                               atol=1e-11)
+
+
 def test_checkpoint_roundtrip_across_orientations(tmp_path, monkeypatch):
     """Checkpoints store the flux in USER orientation: a state saved by a
     permuted solver restores into an identity-orientation solver (and warm-
