@@ -49,6 +49,9 @@ def run_one(mesh_n: int, mesh_nz: int):
         "pcm": round(float(pcm), 2),
         "outers": int(outers),
         "inners": int(run.solver._last_inners),
+        # internal axis orientation (mesh.best_axis_order): a silent flip back
+        # to identity at an asymmetric mesh is a ~1.7x regression
+        "axis_perm": list(run.solver._axperm),
         "wall_s": round(wall, 3),
         "s_per_outer": round(wall / max(outers, 1), 5),
     }
