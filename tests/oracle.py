@@ -108,6 +108,20 @@ class DenseOracle:
         B = np.zeros((self.n_phi, self.n_J))
         C = np.zeros((ng, self.n_phi, self.n_phi))
 
+        # flat list of tensor quadrature points (per-axis index arrays, shape (NQ,));
+        # inactive axes contribute a single dummy point.  The integrand evaluation
+        # below is vectorized over this axis — still brute-force pointwise
+        # quadrature of Polynomial-evaluated bases, just accumulated array-wise.
+        qi = np.meshgrid(
+            *[np.arange(nq) if mesh.active(a) else np.zeros(1, dtype=int) for a in range(3)],
+            indexing="ij",
+        )
+        qi = {a: qi[a].reshape(-1) for a in range(3)}
+        NQ = qi[0].size
+        wq_flat = np.ones(NQ)
+        for a in active:
+            wq_flat = wq_flat * wq[qi[a]]
+
         # local J dofs of an element for direction d: (which_face/bubble, t) ->
         #   ("L"/"R"/l, t, global_index_fn)
         for iz in range(mesh.nz):
@@ -117,9 +131,14 @@ class DenseOracle:
                     idx3 = {0: ix, 1: iy, 2: iz}
                     jac = {a: (h[a][idx3[a]] / 2.0 if mesh.active(a) else 1.0) for a in range(3)}
                     detJ = jac[0] * jac[1] * jac[2]
+                    w_flat = detJ * wq_flat  # (NQ,)
 
-                    # quadrature over active axes only
-                    qpts = [range(nq) if mesh.active(a) else [None] for a in range(3)]
+                    # P_m test-function values at every qpoint: (P, NQ)
+                    pmat = np.ones((fes.P, NQ))
+                    for a in active:
+                        pmat *= Pv[fes.modes[:, a][:, None], qi[a][None, :]]
+                    gp0 = self.phi_index(ix, iy, iz, 0)
+
                     for d_dir in active:
                         di = next(x for x in fes.dirs if x.d == d_dir)
                         tr_axes = [a for a in active if a != d_dir]
@@ -127,7 +146,6 @@ class DenseOracle:
 
                         # local J dof list: (kind, i_long, t, gidx)
                         loc = []
-                        fz, fy, fx = iz, iy, ix
                         for t in range(di.T):
                             loc.append((0, t, self.face_index(d_dir, iz, iy, ix, t)))
                         for t in range(di.T):
@@ -147,50 +165,31 @@ class DenseOracle:
                                 tt //= k + 1
                             return out
 
-                        # quadrature accumulation
-                        for q_ids in itertools.product(*[range(nq) if mesh.active(a) else [0] for a in range(3)]):
-                            w = detJ
-                            for a in active:
-                                w *= wq[q_ids[a]]
-                            # basis values at this point for this direction
-                            vals = np.zeros(len(loc))
-                            divs = np.zeros(len(loc))
-                            for j, (ilong, t, _) in enumerate(loc):
-                                tv = 1.0
-                                tdec = t_decode(t)
-                                for a in tr_axes:
-                                    tv *= Pv[tdec[a], q_ids[a]]
-                                vals[j] = s * Uv[ilong, q_ids[d_dir]] * tv
-                                divs[j] = s * dUv[ilong, q_ids[d_dir]] * tv / jac[d_dir]
-                            for g in range(ng):
-                                invD = 1.0 / D[g, iz, iy, ix]
-                                for a_i, (i1, t1, g1) in enumerate(loc):
-                                    for b_i, (i2, t2, g2) in enumerate(loc):
-                                        A[g, g1, g2] += invD * vals[a_i] * vals[b_i] * w
-                            # B rows
-                            for p in range(fes.P):
-                                pv = 1.0
-                                for a in active:
-                                    pv *= Pv[fes.modes[p, a], q_ids[a]]
-                                gp = self.phi_index(ix, iy, iz, p)
-                                for j, (_, _, gj) in enumerate(loc):
-                                    B[gp, gj] += pv * divs[j] * w
+                        ilong_arr = np.array([j[0] for j in loc])
+                        t_arr = np.array([j[1] for j in loc])
+                        g_arr = np.array([j[2] for j in loc])
+
+                        # transverse tensor values per loc entry: (nloc, NQ)
+                        tv = np.ones((len(loc), NQ))
+                        for a in tr_axes:
+                            tdec_a = np.array([t_decode(t)[a] for t in t_arr])
+                            tv *= Pv[tdec_a[:, None], qi[a][None, :]]
+                        vals = s * Uv[ilong_arr[:, None], qi[d_dir][None, :]] * tv
+                        divs = s * dUv[ilong_arr[:, None], qi[d_dir][None, :]] * tv / jac[d_dir]
+
+                        blockA = (vals * w_flat) @ vals.T  # (nloc, nloc)
+                        for g in range(ng):
+                            invD = 1.0 / D[g, iz, iy, ix]
+                            A[g][np.ix_(g_arr, g_arr)] += invD * blockA
+                        # B rows: <P_p, div psi_j>
+                        B[gp0 : gp0 + fes.P][:, g_arr] += (pmat * w_flat) @ divs.T
 
                     # C block (direction-independent)
-                    for q_ids in itertools.product(*[range(nq) if mesh.active(a) else [0] for a in range(3)]):
-                        w = detJ
-                        for a in active:
-                            w *= wq[q_ids[a]]
-                        pvals = np.ones(fes.P)
-                        for p in range(fes.P):
-                            for a in active:
-                                pvals[p] *= Pv[fes.modes[p, a], q_ids[a]]
-                        for g in range(ng):
-                            sig = SigR[g, iz, iy, ix]
-                            gp0 = self.phi_index(ix, iy, iz, 0)
-                            C[g, gp0 : gp0 + fes.P, gp0 : gp0 + fes.P] += (
-                                sig * np.outer(pvals, pvals) * w
-                            )
+                    blockC = (pmat * w_flat) @ pmat.T
+                    for g in range(ng):
+                        C[g, gp0 : gp0 + fes.P, gp0 : gp0 + fes.P] += (
+                            SigR[g, iz, iy, ix] * blockC
+                        )
 
         # ---- boundary conditions -------------------------------------------
         self.pinned = np.zeros(self.n_J, dtype=bool)

@@ -99,8 +99,10 @@ CASES = [
     (2, 1, 0, BCKind.DIRICHLET),
     (2, 1, 1, BCKind.DIRICHLET),
     (2, 2, 2, BCKind.MIRROR),
+    (2, 3, 3, BCKind.DIRICHLET),
     (3, 0, 0, BCKind.DIRICHLET),
     (3, 1, 1, BCKind.DIRICHLET),
+    (3, 2, 1, BCKind.MIRROR),
 ]
 
 
