@@ -439,6 +439,9 @@ class NeutFEM:
             # Schur CG preconditioner ("auto" | "jacobi" | "line" | "line2");
             # env knob for experiments — see power.SolveOptions.inner_precond
             inner_precond=os.environ.get("NEUTFEM_PRECOND", "auto"),
+            # branch-free Chebyshev blend (measured win; NEUTFEM_CHEBBLEND=0
+            # reverts to the lax.cond+switch form for A/B re-adjudication)
+            cheby_blend=os.environ.get("NEUTFEM_CHEBBLEND", "1") != "0",
             # reference per-iteration console line every 5 outers (NeutFEM.cpp:1791);
             # requires host-callback support (absent on the axon-tunneled TPU)
             log_every=5 if (self._verbosity >= VerbosityLevel.VERBOSE

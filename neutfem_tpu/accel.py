@@ -32,6 +32,7 @@ __all__ = [
     "ChebyshevState",
     "chebyshev_init",
     "chebyshev_apply",
+    "chebyshev_apply_blend",
     "AndersonState",
     "anderson_init",
     "anderson_apply",
@@ -87,6 +88,49 @@ def chebyshev_apply(state: ChebyshevState, phi, nmax: int = 15, sigma: float = 0
 
     branch = jnp.clip(it, 0, 2)
     return jax.lax.switch(branch, [case0, case1, case2], None)
+
+
+def chebyshev_apply_blend(
+    state: ChebyshevState, phi, apply, nmax: int = 15, sigma: float = 0.98
+):
+    """Branch-free ``chebyshev_apply``, gated by the traced scalar ``apply``.
+
+    ``lax.cond``/``lax.switch`` over flux-sized operands materialize every branch
+    tuple in HBM (copy-in/copy-out): the two accelerator conds were ~14% of the
+    RT0 headline solve in the round-3 trace (cond.36 + cond.13 ~= 1.0 ms/outer at
+    988k cells).  All three recurrence cases share the shape
+
+        acc = base + s1 * (phi - base) + s2 * (phi1 - phi0)
+
+    with case-selected scalars (case 0: base=phi, s1=s2=0; case 1: base=phi0,
+    s1=a_1; case >= 2: base=phi1, s1=(4/sigma) a_n, s2=b_n), so one masked-scalar
+    evaluation replaces the control flow and XLA fuses it into the surrounding
+    elementwise chain.  ``apply=False`` folds to acc=phi / state unchanged.
+    Arithmetic per case is ASSOCIATED IDENTICALLY to ``chebyshev_apply``.
+    """
+    a_np, b_np = chebyshev_coeffs(nmax, sigma)
+    a = jnp.asarray(a_np, dtype=phi.dtype)
+    b = jnp.asarray(b_np, dtype=phi.dtype)
+
+    apply = jnp.asarray(apply)
+    it = jnp.where(state.it == nmax, 0, state.it)
+    case = jnp.clip(it, 0, 2)
+    an = a[jnp.clip(it, 0, nmax - 1)]
+    bn = b[jnp.clip(it, 0, nmax - 1)]
+
+    s1 = jnp.where(case == 1, a[1], (4.0 / sigma) * an)
+    s1 = jnp.where(apply, jnp.where(case == 0, 0.0, s1), 0.0).astype(phi.dtype)
+    s2 = jnp.where(apply & (case == 2), bn, 0.0).astype(phi.dtype)
+    use0 = apply & (case == 1)
+    use1 = apply & (case == 2)
+    base = jnp.where(use0, state.phi0, jnp.where(use1, state.phi1, phi))
+
+    acc = base + s1 * (phi - base) + s2 * (state.phi1 - state.phi0)
+
+    phi0_new = jnp.where(apply, base, state.phi0)
+    phi1_new = jnp.where(apply, acc, state.phi1)
+    it_new = jnp.where(apply, it + 1, state.it)
+    return ChebyshevState(it_new, phi0_new, phi1_new), acc
 
 
 class AndersonState(NamedTuple):

@@ -33,6 +33,7 @@ from .accel import (
     anderson_apply,
     anderson_init,
     chebyshev_apply,
+    chebyshev_apply_blend,
     chebyshev_init,
 )
 from .cmfd import cmfd_correction
@@ -100,6 +101,13 @@ class SolveOptions:
     cmfd_use_lo_k: bool = False   # take keff from the lo eigensolve (wielandt
                                   # mode only; unstable on indefinite lo systems)
     cmfd_lo_outers: int = 60      # wielandt-mode cap on lo iterations
+    cheby_blend: bool = True      # branch-free Chebyshev (scalar-masked blend,
+                                  # accel.chebyshev_apply_blend) instead of
+                                  # lax.cond+switch: the control-flow form
+                                  # materialized every flux-sized branch operand
+                                  # (~14% of the RT0 headline solve, round-3
+                                  # trace).  NEUTFEM_CHEBBLEND=0 reverts via the
+                                  # compat layer for A/B.
     sweep: str = "gs"             # group sweep: "gs" (reference Gauss-Seidel) |
                                   # "jacobi" (all groups in ONE batched Schur CG).
                                   # Jacobi is ~8x cheaper per outer on 4-group
@@ -486,11 +494,22 @@ def power_iteration(
         phi = phi / jnp.where(norm > 1e-14, norm, 1.0)
 
         if use_cheby:
-            def do_accel(args):
-                cheb_in, p = args
-                return chebyshev_apply(cheb_in, p, opts.cheby_nmax, opts.cheby_sigma)
+            # Branch-free by default: the lax.cond+switch pair materialized every
+            # flux-sized branch operand (~14% of the RT0 headline solve, round-3
+            # trace); the masked-scalar blend fuses into the normalization chain.
+            # cheby_blend=False reverts to the control-flow form for A/B.
+            if opts.cheby_blend:
+                cheb, phi = chebyshev_apply_blend(
+                    cheb, phi, it >= cheby_from, opts.cheby_nmax, opts.cheby_sigma
+                )
+            else:
+                def do_accel(args):
+                    cheb_in, p = args
+                    return chebyshev_apply(cheb_in, p, opts.cheby_nmax, opts.cheby_sigma)
 
-            cheb, phi = lax.cond(it >= cheby_from, do_accel, lambda args: args, (cheb, phi))
+                cheb, phi = lax.cond(
+                    it >= cheby_from, do_accel, lambda args: args, (cheb, phi)
+                )
         elif use_anderson:
             def do_and(args):
                 a_in, p_prev, p = args

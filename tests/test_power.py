@@ -69,6 +69,36 @@ def build_2d_problem(nx=6, ny=5, k=0, m=0, seed=1):
     return mesh, fes, ng, xs, bcs
 
 
+def test_chebyshev_blend_matches_control_flow():
+    """chebyshev_apply_blend must reproduce chebyshev_apply (same arithmetic
+    association; scalar-masked selects instead of lax.cond/switch), including
+    the gated-off prefix, all three recurrence cases, and the nmax reset.
+    Tolerance is a few ulp: the switch branches compile as closed XLA
+    computations where FMA contraction differs from the eager blend ops."""
+    from neutfem_tpu.accel import chebyshev_apply, chebyshev_apply_blend, chebyshev_init
+
+    rng = np.random.default_rng(42)
+    nmax, sigma, cheby_from = 4, 0.9, 2
+    tol = 100 * float(jnp.finfo(DT).eps)
+    phi_like = jnp.zeros((3, 5), dtype=DT)
+    s_ref = s_bl = chebyshev_init(phi_like)
+    for it in range(12):  # crosses the nmax reset twice
+        phi = jnp.asarray(rng.normal(size=phi_like.shape), dtype=DT)
+        apply = it >= cheby_from
+        if apply:
+            s_ref, out_ref = chebyshev_apply(s_ref, phi, nmax, sigma)
+        else:
+            out_ref = phi
+        s_bl, out_bl = chebyshev_apply_blend(s_bl, phi, jnp.asarray(apply), nmax, sigma)
+        np.testing.assert_allclose(np.asarray(out_bl), np.asarray(out_ref),
+                                   rtol=tol, atol=tol)
+        np.testing.assert_allclose(np.asarray(s_bl.phi0), np.asarray(s_ref.phi0),
+                                   rtol=tol, atol=tol)
+        np.testing.assert_allclose(np.asarray(s_bl.phi1), np.asarray(s_ref.phi1),
+                                   rtol=tol, atol=tol)
+        assert int(s_bl.it) == int(s_ref.it)
+
+
 @pytest.mark.parametrize("accel", ["none", "chebyshev", "anderson"])
 def test_keff_matches_dense_eig_2d_rt0(accel):
     mesh, fes, ng, xs, bcs = build_2d_problem()
