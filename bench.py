@@ -99,111 +99,51 @@ def main_full() -> None:
 
     spec = BENCHMARKS["iaea3d"]
 
-    # RT1-P1 at 1.76M DOFs: the higher-order f32 convergence config (VERDICT
-    # round-2 Next #1: must converge tol_flux <= 1e-5, NOT max_outer-capped)
-    run = BenchmarkRun(spec, mesh_n=4, mesh_nz=2, rt_order=1, verbose=False)
-    run.solve(tol=(1e-7, 1e-5, 1e-5, 120, 1000))
-    run.solver.reset_flux()
-    t0 = time.time()
-    keff = run.solver.SolveKeff()
-    wall = time.time() - t0
-    outers = run.solver._last_outers
-    hist = run.solver.get_iteration_history()
-    row = {
-        "metric": "iaea3d_rt1p1_seconds_per_outer_iteration",
-        "value": round(wall / max(outers, 1), 6),
-        "unit": "s/outer",
-        "detail": {
-            "keff": round(keff, 7),
-            "n_dofs": int(run.solver._fes.n_phi),
-            "outer_iterations": outers,
-            "inner_iterations": run.solver._last_inners,
-            "converged_not_capped": bool(outers < 120),
-            "final_dphi": float(hist[-1, 2]) if len(hist) else None,
-            "solve_wall_s": round(wall, 3),
-            "mesh": "4x4x2 RT1-P1",
-        },
-    }
-    print(json.dumps(row))
-    rows.append(row)
-
-    # RT2-P2 at 5.9M flux DOFs: the HO fused kernels' K1 = 3 tile paths on
-    # real Mosaic (m = k = 2, 27 modes/cell)
-    run = BenchmarkRun(spec, mesh_n=4, mesh_nz=2, rt_order=2, verbose=False)
-    run.solve(tol=(1e-7, 1e-5, 1e-5, 120, 1000))
-    run.solver.reset_flux()
-    t0 = time.time()
-    keff = run.solver.SolveKeff()
-    wall = time.time() - t0
-    outers = run.solver._last_outers
-    row = {
-        "metric": "iaea3d_rt2p2_seconds_per_outer_iteration",
-        "value": round(wall / max(outers, 1), 6),
-        "unit": "s/outer",
-        "detail": {
-            "keff": round(keff, 7),
-            "n_dofs": int(run.solver._fes.n_phi),
-            "outer_iterations": outers,
-            "inner_iterations": run.solver._last_inners,
-            "converged_not_capped": bool(outers < 120),
-            "solve_wall_s": round(wall, 3),
-            "mesh": "4x4x2 RT2-P2",
-        },
-    }
-    print(json.dumps(row))
-    rows.append(row)
-
-    # 2.6M-cell RT0 scale row: the axis-orientation showcase (152x152x114 is
-    # relabeled internally so the 114-wide axis is minor — 1.70x, round 3)
-    run = BenchmarkRun(spec, mesh_n=8, mesh_nz=6, verbose=False)
-    run.solve(tol=(1e-5, 1e-4, 1e-4, 200, 1000))
-    run.solver.reset_flux()
-    t0 = time.time()
-    keff = run.solver.SolveKeff()
-    wall = time.time() - t0
-    outers = run.solver._last_outers
-    row = {
-        "metric": "iaea3d_2p6M_seconds_per_outer_iteration",
-        "value": round(wall / max(outers, 1), 6),
-        "unit": "s/outer",
-        "detail": {
-            "keff": round(keff, 7),
-            "pcm": round(1e5 * (1.0 / spec.kref - 1.0 / keff), 2),
-            "n_cells": run.solver.GetNumElements(),
-            "outer_iterations": outers,
-            "inner_iterations": run.solver._last_inners,
-            "axis_perm": list(run.solver._axperm),
-            "solve_wall_s": round(wall, 3),
-            "mesh": "8x8x6",
-        },
-    }
-    print(json.dumps(row))
-    rows.append(row)
-
-    # 3.5M-cell RT0 scale row
-    run = BenchmarkRun(spec, mesh_n=8, mesh_nz=8, verbose=False)
-    run.solve(tol=(1e-5, 1e-4, 1e-4, 200, 1000))
-    run.solver.reset_flux()
-    t0 = time.time()
-    keff = run.solver.SolveKeff()
-    wall = time.time() - t0
-    outers = run.solver._last_outers
-    row = {
-        "metric": "iaea3d_3p5M_seconds_per_outer_iteration",
-        "value": round(wall / max(outers, 1), 6),
-        "unit": "s/outer",
-        "detail": {
-            "keff": round(keff, 7),
-            "pcm": round(1e5 * (1.0 / spec.kref - 1.0 / keff), 2),
-            "n_cells": run.solver.GetNumElements(),
-            "outer_iterations": outers,
-            "inner_iterations": run.solver._last_inners,
-            "solve_wall_s": round(wall, 3),
-            "mesh": "8x8x8",
-        },
-    }
-    print(json.dumps(row))
-    rows.append(row)
+    # One config-table loop (the four extra rows drifted apart as copy-pasted
+    # blocks — round-3 self-review).  Row-specific detail fields:
+    #   RT1: converged_not_capped + final_dphi (the round-2 Next #1 acceptance)
+    #   RT2: converged_not_capped (HO fused kernels' K1 = 3 tiles on real Mosaic)
+    #   2.6M: axis_perm (the axis-orientation showcase, 1.70x round 3)
+    configs = [
+        ("iaea3d_rt1p1_seconds_per_outer_iteration", "4x4x2 RT1-P1",
+         dict(mesh_n=4, mesh_nz=2, rt_order=1), (1e-7, 1e-5, 1e-5, 120, 1000)),
+        ("iaea3d_rt2p2_seconds_per_outer_iteration", "4x4x2 RT2-P2",
+         dict(mesh_n=4, mesh_nz=2, rt_order=2), (1e-7, 1e-5, 1e-5, 120, 1000)),
+        ("iaea3d_2p6M_seconds_per_outer_iteration", "8x8x6",
+         dict(mesh_n=8, mesh_nz=6), (1e-5, 1e-4, 1e-4, 200, 1000)),
+        ("iaea3d_3p5M_seconds_per_outer_iteration", "8x8x8",
+         dict(mesh_n=8, mesh_nz=8), (1e-5, 1e-4, 1e-4, 200, 1000)),
+    ]
+    for metric, mesh_label, kwargs, tol in configs:
+        run = BenchmarkRun(spec, verbose=False, **kwargs)
+        run.solve(tol=tol)
+        run.solver.reset_flux()
+        t0 = time.time()
+        keff = run.solver.SolveKeff()
+        wall = time.time() - t0
+        outers = run.solver._last_outers
+        higher_order = kwargs.get("rt_order", 0) > 0
+        detail = {"keff": round(keff, 7)}
+        if higher_order:
+            detail["n_dofs"] = int(run.solver._fes.n_phi)
+        else:
+            detail["pcm"] = round(1e5 * (1.0 / spec.kref - 1.0 / keff), 2)
+            detail["n_cells"] = run.solver.GetNumElements()
+        detail["outer_iterations"] = outers
+        detail["inner_iterations"] = run.solver._last_inners
+        if higher_order:
+            detail["converged_not_capped"] = bool(outers < tol[3])
+        if kwargs.get("rt_order") == 1:
+            hist = run.solver.get_iteration_history()
+            detail["final_dphi"] = float(hist[-1, 2]) if len(hist) else None
+        if metric.startswith("iaea3d_2p6M"):
+            detail["axis_perm"] = list(run.solver._axperm)
+        detail["solve_wall_s"] = round(wall, 3)
+        detail["mesh"] = mesh_label
+        row = {"metric": metric, "value": round(wall / max(outers, 1), 6),
+               "unit": "s/outer", "detail": detail}
+        print(json.dumps(row))
+        rows.append(row)
 
     with open("BENCH_extra.json", "w") as f:
         json.dump(rows, f, indent=1)

@@ -32,6 +32,7 @@ from jax import lax
 
 from .fespace import FESpace
 from .krylov import pcg
+from .ops.apply import ctx_face
 
 __all__ = ["cmfd_correction"]
 
@@ -43,8 +44,6 @@ def _face_currents(fes: FESpace, ctx: Dict, J) -> Dict[str, jnp.ndarray]:
     for di in fes.dirs:
         key = f"d{di.d}"
         # internal layout (ng, T, *face_shape): t=0 transverse mode at axis -4
-        from .ops.apply import ctx_face
-
         f0 = lax.index_in_dim(J[key]["face"], 0, axis=-4, keepdims=False)
         out[key] = f0 * ctx_face(ctx, f"jscale_{key}", di.axis)
     return out
@@ -74,8 +73,6 @@ def _deff(fes: FESpace, ctx: Dict, phi_bar, j_phys) -> Dict[str, jnp.ndarray]:
         dphi = lax.slice_in_dim(padded, 0, n - 1, axis=ax) - lax.slice_in_dim(
             padded, 1, n, axis=ax
         )
-        from .ops.apply import ctx_face
-
         dtilde = ctx_face(ctx, f"dtilde_{key}", di.axis)
         # RELATIVE degeneracy guard: Dhat is exact wherever the face has a real
         # flux difference; only the 0/0 faces (locally flat flux, e.g. between two

@@ -25,7 +25,6 @@ Two CG implementations:
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from typing import Callable, NamedTuple, Optional
 

@@ -762,7 +762,7 @@ def fused_schur_y_pre(acc, v, sT, dmT, lT, bx0: float, bx1: float,
 _EQ_FP = {"1": (20, 15, 16), "2": (20, 17, 16)}
 
 
-def _eq_x_ok(shape, dtype, interpret: bool) -> bool:
+def _eq_x_ok(shape, dtype, interpret: bool, fp: int = _EQ_FP["1"][0]) -> bool:
     if not interpret and dtype not in (jnp.float32, jnp.bfloat16):
         return False
     if len(shape) < 3 or any(s != 1 for s in shape[:-3]):
@@ -772,10 +772,10 @@ def _eq_x_ok(shape, dtype, interpret: bool) -> bool:
     for s in shape:
         B *= s
     B //= n
-    return n >= 4 and B >= 512 and _tiles(shape, dtype, 2, fp=20) is not None
+    return n >= 4 and B >= 512 and _tiles(shape, dtype, 2, fp=fp) is not None
 
 
-def _eq_z_ok(shape, dtype, interpret: bool) -> bool:
+def _eq_z_ok(shape, dtype, interpret: bool, fp: int = _EQ_FP["1"][2]) -> bool:
     if not interpret and dtype not in (jnp.float32, jnp.bfloat16):
         return False
     if len(shape) < 3 or any(s != 1 for s in shape[:-3]):
@@ -784,7 +784,7 @@ def _eq_z_ok(shape, dtype, interpret: bool) -> bool:
     # same engagement geometry as fused_fits(rel=0), with the +2 operand
     # footprints (sdi double-buffered) in the VMEM budget
     return (n >= 4 and s2 >= 64 and s1 * s2 >= 512
-            and _tiles(shape[-3:], dtype, 0, fp=16) is not None)
+            and _tiles(shape[-3:], dtype, 0, fp=fp) is not None)
 
 
 def eqfold_fits(shape, dtype, interpret: bool = False, mode: str = "1") -> bool:
@@ -792,7 +792,7 @@ def eqfold_fits(shape, dtype, interpret: bool = False, mode: str = "1") -> bool:
     per-group flux shape, for fold `mode` ("1" dual-output, "2" recompute-u).
     Static-shape gate shared by ops/apply.equilibrated_schur_matvec and tests."""
     fpx, fpy, fpz = _EQ_FP.get(mode, _EQ_FP["1"])
-    if not _eq_x_ok(shape, dtype, interpret):
+    if not _eq_x_ok(shape, dtype, interpret, fp=fpx):
         return False
     # y gate (mirrors fused_schur_y_pre geometry, mode-specific VMEM footprint)
     s0, n, s2 = shape[-3], shape[-2], shape[-1]
@@ -800,7 +800,7 @@ def eqfold_fits(shape, dtype, interpret: bool = False, mode: str = "1") -> bool:
         return False
     if _tiles(shape[-3:], dtype, 1, fp=fpy) is None:
         return False
-    return _eq_z_ok(shape, dtype, interpret)
+    return _eq_z_ok(shape, dtype, interpret, fp=fpz)
 
 
 def fused_schur_x_eq(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float,
@@ -815,7 +815,7 @@ def fused_schur_x_eq(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float,
     B = y.size // n
     if sT.shape != (n + 1, B):
         return None
-    t = _tiles(y.shape, y.dtype, 2, fp=20)
+    t = _tiles(y.shape, y.dtype, 2, fp=_EQ_FP["1"][0])
     acc, u = _fused_xT_eq(y.reshape(B, n), sdi.reshape(B, n), ce.reshape(B, n),
                           sT, dmT, lT, bx0, bx1, tb=t[0], interpret=interpret)
     return acc.reshape(y.shape), u.reshape(y.shape)
@@ -836,7 +836,7 @@ def fused_schur_z_eq(acc, u, scale, dinvm, l, sdi, bx0: float, bx1: float,
     sdi_b = jnp.broadcast_to(sdi, shape)
     s0, s1, s2 = shape[-3], shape[-2], shape[-1]
     B = u.size // (s0 * s1 * s2)
-    ts, tc = _tiles(shape[-3:], u.dtype, 0, fp=16)
+    ts, tc = _tiles(shape[-3:], u.dtype, 0, fp=_EQ_FP["1"][2])
     out = _fused_z_eq(acc.reshape(B, s0, s1, s2), u.reshape(B, s0, s1, s2),
                       scale_b.reshape(B, s0 + 1, s1, s2),
                       dinvm_b.reshape(B, s0 + 1, s1, s2),

@@ -22,6 +22,7 @@ of unpreconditioned CG — identical fixed point, fewer iterations.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Dict, Optional
 
@@ -199,9 +200,7 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
         # reduction kernels — measured 48.9 vs 43.9 ms/outer at 2.6M cells and
         # 7.1 vs 6.9 at 988k (round-3 bisect, /tmp/bisect26.log).  The reductions
         # were latency, not bandwidth.
-        import os as _os
-
-        solver = pcg_fused if _os.environ.get("NEUTFEM_CGCG", "0") == "1" else pcg
+        solver = pcg_fused if os.environ.get("NEUTFEM_CGCG", "0") == "1" else pcg
     else:
         solver = bicgstab
     precond = None
@@ -225,7 +224,7 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
         # elementwise, so it needs no sharding special-case.
         bi = ctxg["precond_blk_inv"]
         precond = lambda r: jnp.einsum("...pqabc,...qabc->...pabc", bi, r)
-        if (solver is pcg and _os.environ.get("NEUTFEM_BLOCKJAC", "0") == "1"):
+        if (solver is pcg and os.environ.get("NEUTFEM_BLOCKJAC", "0") == "1"):
             # Fused Pallas apply+reductions (z, <r,z>, <r,r> in one pass over
             # the (P, P, cells) block tensor).  ADJUDICATED AGAINST on the real
             # chip (round 3, RT1-P1 988k, alternating A/B): 87.3 vs 61.5
