@@ -442,6 +442,14 @@ class NeutFEM:
             # branch-free Chebyshev blend (measured win; NEUTFEM_CHEBBLEND=0
             # reverts to the lax.cond+switch form for A/B re-adjudication)
             cheby_blend=os.environ.get("NEUTFEM_CHEBBLEND", "1") != "0",
+            # Adaptive inner-tolerance schedule (Eisenstat-Walker style): each
+            # outer's Schur CG stops at clip(eta*dphi_prev, inner_tol, 0.1), and
+            # convergence is only certified by an endgame-tolerance outer (see
+            # power.SolveOptions.inner_eta).  Default ON at eta=0.03: measured
+            # on the real chip -13%/-12%/-17% wall at 988k/2.6M/RT1-P1 with the
+            # same outer counts and k shifts below tol_keff (round 3).
+            # NEUTFEM_INNER_ETA=0 restores the reference's fixed tolerance.
+            inner_eta=float(os.environ.get("NEUTFEM_INNER_ETA", "0.03")),
             # reference per-iteration console line every 5 outers (NeutFEM.cpp:1791);
             # requires host-callback support (absent on the axon-tunneled TPU)
             log_every=5 if (self._verbosity >= VerbosityLevel.VERBOSE

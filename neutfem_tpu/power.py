@@ -69,6 +69,14 @@ class SolveOptions:
     tol_keff: float = 1e-5
     tol_flux: float = 1e-5
     inner_tol: float = 1e-5       # Schur CG relative tolerance (= tol_flux in reference)
+    inner_eta: float = 0.0        # > 0: adaptive (Eisenstat-Walker-style) inner
+                                  # tolerance — each outer's group solves run at
+                                  # clip(inner_eta * dphi_prev, inner_tol, 0.1),
+                                  # so early outers (flux error ~1e0) stop the
+                                  # Schur CG early and only the endgame pays for
+                                  # full inner accuracy.  0 = reference-parity
+                                  # fixed tolerance.  NEUTFEM_INNER_ETA wires it
+                                  # through the compat layer.
     max_outer: int = 200
     max_inner: int = 1000
     accel: str = "chebyshev"      # "none" | "chebyshev" | "anderson"
@@ -140,8 +148,11 @@ def ctx_group(ctx: Dict, g: int) -> Dict:
     return out
 
 
-def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
+def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0, tol=None):
     """Solve S_g phi_g = rhs via symmetrically Jacobi-equilibrated CG (or BiCGSTAB).
+
+    ``tol`` (traced scalar) overrides ``opts.inner_tol`` — used by the adaptive
+    inner-tolerance schedule (``opts.inner_eta``).
 
     The solve runs on the scaled system  D^-1/2 S D^-1/2 y = D^-1/2 rhs  with
     D = diag(S) (the diagonal-Schur estimate).  This is mathematically identical to
@@ -295,7 +306,8 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0):
             precond = lambda r: applies[0](r) + applies[1](r)
     kw = {"precond_dots": precond_dots} if precond_dots is not None else {}
     res = solver(matvec, rhs * sdi, x0 / sdi, precond=precond,
-                 tol=opts.inner_tol, maxiter=opts.max_inner, **kw)
+                 tol=opts.inner_tol if tol is None else tol,
+                 maxiter=opts.max_inner, **kw)
     return res._replace(x=res.x * sdi)
 
 
@@ -415,9 +427,30 @@ def power_iteration(
 
     rhs_w = ctx["nsf"] if adjoint else ctx["chi"]  # group-row weight of the fission rhs
 
+    # Adaptive-schedule endgame floor: an outer solved at tolerance tol_g cannot
+    # certify flux accuracy better than ~tol_g, so convergence only counts once
+    # the schedule has tightened to this floor (otherwise a loose early solve
+    # that barely moves the warm-started flux fakes a tiny dphi/dk and the
+    # iteration stops on the WRONG eigenpair — observed: eta=0.1 "converged" in
+    # 3 outers 640 pcm off).  A fake-small dphi tightens the next outer's tol_g,
+    # so the guard self-corrects instead of stalling.
+    endgame_tol = max(opts.inner_tol, 0.1 * opts.tol_flux) * 1.0001
+
     def outer_body(carry):
-        phi, keff, it, _, _, cheb, ands, inner_tot, _, _, hist = carry
+        phi, keff, it, _, dphi_prev, cheb, ands, inner_tot, _, _, hist, _ = carry
         phi_old = phi
+
+        # Adaptive inner tolerance (opt-in): solve each outer's group systems
+        # only as accurately as the outer iterate itself — clip(eta * dphi_prev,
+        # inner_tol, 0.1).  dphi_prev starts at 1.0, so the first outers run at
+        # the 0.1 cap and the schedule tightens to inner_tol as the flux
+        # converges (the stopping rule then matches the fixed-tol endgame).
+        tol_g = None
+        tol_used = jnp.asarray(opts.inner_tol, dtype)
+        if opts.inner_eta > 0:
+            tol_g = jnp.clip(jnp.asarray(opts.inner_eta, dtype) * dphi_prev,
+                             opts.inner_tol, 0.1)
+            tol_used = tol_g
 
         total_fiss = _fission_source(ctx, phi, adjoint)
         prod_old = _production(ctx, phi, adjoint) if adjoint else jnp.sum(total_fiss)
@@ -430,7 +463,7 @@ def power_iteration(
             # the leading group axis (ctx arrays already carry ng in front)
             rhs = jnp.expand_dims(rhs_w, -4) * total_fiss / keff + _scatter_all(ctx, phi, adjoint)
             x0 = phi if opts.warm_start else jnp.zeros_like(phi)
-            res = group_solve(fes, ctx, opts, rhs, x0)
+            res = group_solve(fes, ctx, opts, rhs, x0, tol=tol_g)
             phi = res.x
             inner_iters = inner_iters + res.iterations
             last_inner = res.iterations
@@ -451,7 +484,7 @@ def power_iteration(
             rhs = rhs_w[g] * total_fiss / keff  # (sp) * (P, sp)
             rhs = rhs + _scatter_into(ctx, g, phi, adjoint)
             x0 = phi[g] if opts.warm_start else jnp.zeros_like(phi[g])
-            res = group_solve(fes, ctxg, opts, rhs, x0)
+            res = group_solve(fes, ctxg, opts, rhs, x0, tol=tol_g)
             phi = phi.at[g].set(res.x)
             inner_iters = inner_iters + res.iterations
             last_inner = res.iterations
@@ -549,11 +582,14 @@ def power_iteration(
         )
 
         return (phi, keff, it + 1, diff_k, diff_flux, cheb, ands,
-                inner_tot + inner_iters, last_inner, last_resid, hist)
+                inner_tot + inner_iters, last_inner, last_resid, hist, tol_used)
 
     def outer_cond(carry):
-        _, _, it, diff_k, diff_flux, _, _, _, _, _, _ = carry
+        _, _, it, diff_k, diff_flux, _, _, _, _, _, _, tol_used = carry
         not_conv = jnp.logical_or(diff_k >= opts.tol_keff, diff_flux >= opts.tol_flux)
+        if opts.inner_eta > 0:
+            # convergence certified only by an endgame-tolerance outer
+            not_conv = jnp.logical_or(not_conv, tol_used > endgame_tol)
         # always run at least 2 iterations (k is not updated at it=0)
         return jnp.logical_and(it < opts.max_outer, jnp.logical_or(not_conv, it < 2))
 
@@ -570,9 +606,10 @@ def power_iteration(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0.0, dtype),
         jnp.zeros((opts.max_outer, 4), dtype),
+        jnp.asarray(1.0, dtype),  # tol_used by the last outer (adaptive guard)
     )
     (phi, keff, it, diff_k, diff_flux, _, _, inner_tot, last_inner, last_resid,
-     hist) = lax.while_loop(outer_cond, outer_body, carry0)
+     hist, _) = lax.while_loop(outer_cond, outer_body, carry0)
 
     J = compute_current(fes, ctx, phi, a_mode=opts.a_mode)
     return {

@@ -1,5 +1,7 @@
 """Power-iteration eigensolver tests: dense-oracle eigenvalues and analytic slabs."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 import scipy.linalg
@@ -97,6 +99,25 @@ def test_chebyshev_blend_matches_control_flow():
         np.testing.assert_allclose(np.asarray(s_bl.phi1), np.asarray(s_ref.phi1),
                                    rtol=tol, atol=tol)
         assert int(s_bl.it) == int(s_ref.it)
+
+
+@pytest.mark.parametrize("eta", [0.03, 0.3])
+def test_adaptive_inner_tol_matches_fixed(eta):
+    """inner_eta > 0 must reach the same eigenvalue as the fixed tolerance.
+    The endgame guard (convergence certified only by an inner_tol-accurate
+    outer) is what makes this hold: without it, eta=0.1 on this problem
+    'converged' in 3 outers, 640 pcm off (round-3 measurement)."""
+    mesh, fes, ng, xs, bcs = build_2d_problem(nx=12, ny=10)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
+    phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
+
+    base = SolveOptions(tol_keff=1e-9, tol_flux=1e-7, inner_tol=1e-9)
+    k_fixed = float(power_iteration(fes, ng, base, ctx, phi0, 1.0)["keff"])
+    res = power_iteration(
+        fes, ng, dataclasses.replace(base, inner_eta=eta), ctx, phi0, 1.0
+    )
+    assert abs(float(res["keff"]) - k_fixed) < 5e-9
+    assert int(res["outer_iterations"]) < base.max_outer  # converged, not capped
 
 
 @pytest.mark.parametrize("accel", ["none", "chebyshev", "anderson"])
