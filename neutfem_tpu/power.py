@@ -664,11 +664,21 @@ def fixed_source_solve(
     iterated, to converge upscatter through the Gauss-Seidel group sweep).
     """
     phi0 = phi_to_internal(phi0)
+    # same adaptive-schedule endgame floor as power_iteration (convergence is
+    # only certified by an inner_tol-accurate source iteration)
+    endgame_tol = max(opts.inner_tol, 0.1 * opts.tol_flux) * 1.0001
 
     def outer_body(carry):
-        phi, it, _, inner_tot = carry
+        phi, it, dphi_prev, inner_tot, _ = carry
         phi_old = phi
         total_fiss = _fission_source(ctx, phi) if with_fission else 0.0
+
+        tol_g = None
+        tol_used = jnp.asarray(opts.inner_tol, phi0.dtype)
+        if opts.inner_eta > 0:
+            tol_g = jnp.clip(jnp.asarray(opts.inner_eta, phi0.dtype) * dphi_prev,
+                             opts.inner_tol, 0.1)
+            tol_used = tol_g
 
         inner_iters = jnp.asarray(0, jnp.int32)
         for g in range(ng):
@@ -678,22 +688,26 @@ def fixed_source_solve(
                 rhs = rhs + ctx["chi"][g] * total_fiss / keff
             rhs = rhs + _scatter_into(ctx, g, phi)
             x0 = phi[g] if opts.warm_start else jnp.zeros_like(phi[g])
-            res = group_solve(fes, ctxg, opts, rhs, x0)
+            res = group_solve(fes, ctxg, opts, rhs, x0, tol=tol_g)
             phi = phi.at[g].set(res.x)
             inner_iters = inner_iters + res.iterations
 
         num = jnp.sum((phi - phi_old) ** 2)
         den = jnp.sum(phi * phi)
         diff = jnp.sqrt(num / jnp.where(den == 0, 1.0, den))
-        return (phi, it + 1, diff, inner_tot + inner_iters)
+        return (phi, it + 1, diff, inner_tot + inner_iters, tol_used)
 
     def outer_cond(carry):
-        _, it, diff, _ = carry
-        return jnp.logical_and(it < opts.max_outer, diff >= opts.tol_flux)
+        _, it, diff, _, tol_used = carry
+        not_conv = diff >= opts.tol_flux
+        if opts.inner_eta > 0:
+            not_conv = jnp.logical_or(not_conv, tol_used > endgame_tol)
+        return jnp.logical_and(it < opts.max_outer, not_conv)
 
     one = jnp.asarray(1.0, phi0.dtype)
-    phi, it, diff, inner_tot = lax.while_loop(
-        outer_cond, outer_body, (phi0, jnp.asarray(0, jnp.int32), one, jnp.asarray(0, jnp.int32))
+    phi, it, diff, inner_tot, _ = lax.while_loop(
+        outer_cond, outer_body,
+        (phi0, jnp.asarray(0, jnp.int32), one, jnp.asarray(0, jnp.int32), one),
     )
     J = compute_current(fes, ctx, phi, a_mode=opts.a_mode)
     return {
