@@ -7,12 +7,15 @@ its five driver scripts print pcm vs the literature k_ref
 (/root/reference/tests/iaea2d/iaea2d.py:389-394 and siblings) — but asserts.
 
 Run: python -m benchmarks.validate_tpu
-Last recorded run (TPU v5e, 2026-08-17):
-  iaea2d    8x8     k=1.029579  -0.56 pcm   (sub-pcm, literature 1.029585)
-  biblis2d  8x8     k=1.025123  +1.23 pcm
-  koeberg2d 4x4     k=1.008170  +21.3 pcm   (4-group upscatter; 4x4 disc. level)
+Last recorded run (TPU v5e, 2026-08-18, adaptive inner tolerance default):
+  iaea2d    8x8     k=1.029572  -1.20 pcm   (sub-2-pcm, literature 1.029585)
+  biblis2d  8x8     k=1.025121  +1.05 pcm
+  koeberg2d 4x4     k=1.008170  +21.2 pcm   (4-group upscatter; 4x4 disc. level)
   zion2d    4x4     k=1.275511  +38.0 pcm   (baffle geometry; 4x4 disc. level)
-  iaea3d    6x6x4   k=1.029104  +0.78 pcm   (988k cells)
+  iaea3d    6x6x4   k=1.029104  +0.80 pcm   (988k cells; re-run standalone after
+                                             a transient worker fault ended the
+                                             5-config sweep — probe + re-run per
+                                             the measurement-hygiene notes)
 The 2D pcm values sit on each mesh's own discretization ladder (see
 tests/test_benchmarks.py for the measured refinement sequences); the bounds
 below are the test-suite bounds for the same configs.

@@ -146,6 +146,22 @@ def test_keff_matches_dense_eig_2d_rt1():
     assert abs(float(res["keff"]) - k_ref) < 5e-9
 
 
+def test_keff_matches_dense_eig_3d_rt1_random():
+    """3D random-heterogeneous RT1-P1 with mixed MIRROR/DIRICHLET boundaries vs
+    the dense-oracle eigenvalue (the 2D cases never exercise the z-direction
+    A-solve or the 3-direction Schur assembly against H^-1 F)."""
+    from test_operators import make_problem
+
+    mesh, fes, ng, ctx, oracle = make_problem(3, 1, 1, BCKind.MIRROR, seed=9)
+    xs = oracle.xs
+    k_ref = dense_keff(oracle, xs, ng)
+
+    opts = SolveOptions(tol_keff=1e-10, tol_flux=1e-8, inner_tol=1e-12)
+    phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=DT)
+    res = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
+    assert abs(float(res["keff"]) - k_ref) < 5e-9, (float(res["keff"]), k_ref)
+
+
 def test_diag_elementwise_matches_reference_diagonal_schur():
     """diag_elementwise=True (bug-compat) must reproduce the reference's RT0-P0
     "diagonal Schur" scheme exactly: the group solve keeps ONLY the diagonal
