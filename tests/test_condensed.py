@@ -74,6 +74,8 @@ CASES = [
     (3, 1, 1, None),
     (3, 1, 0, None),
     (3, 2, 1, None),
+    (2, 3, 3, None),
+    (3, 2, 2, 1),   # PERIODIC y at full order
     (2, 1, 1, 0),   # PERIODIC x
     (3, 1, 1, 2),   # PERIODIC z
 ]
