@@ -48,9 +48,26 @@ from .pallas_tridiag import _pad_up, _round_down
 # conservative 8 MiB budget of the RT0 kernels (pallas_tridiag._VMEM_BUDGET)
 # underflows the minimum (8, 128) tile at moderate ny (the round-3 RT1 988k
 # mesh has ny = 114 -> the y kernel silently declined).  VMEM is ~16 MiB/core;
-# budget 12 MiB here and tell Mosaic explicitly via vmem_limit_bytes.
-_VMEM_BUDGET_HO = 12 * 2**20
+# tell Mosaic explicitly via vmem_limit_bytes.
+#
+# The y/z budget is CALIBRATED on hardware (round 3): the gates use the exact
+# Mosaic footprint model (_rows_y/_rows_z below; streamed blocks are
+# double-buffered, scratches are not, and a block whose SUBLANE dim is the
+# solve axis pads it to 8) — the model reproduces Mosaic's own scoped-vmem
+# report to the byte (13.80 MiB for the y kernel at K1=3, n=114).  A 13-shape
+# compile sweep on the v5e bracketed the usable stack capacity: every shape
+# with footprint <= 13,094,912 B (z @ K1=2, n=152) compiles and runs; every
+# shape >= 13,586,432 B (y @ K1=2, n=144) dies at compile with a vmem stack
+# OOM that kills the whole solve.  Budget = the highest measured-good
+# footprint.  (The old plane-count heuristic under-counted and APPROVED the
+# y kernel at K1=3, n=114 — crashing the 26.7M-DOF RT2 solve instead of
+# declining to the unfused path.)
+_VMEM_BUDGET_HO = 13_094_912
 _VMEM_LIMIT_HO = 13 * 2**20
+# The x kernel's per-slab model (staged faces scale with the lane dim, not the
+# sublane dim) is validated at 12 MiB only (tz=8 @ RT1 988k, tz=6 @ RT2 988k,
+# both measured working); it keeps the proven budget.
+_VMEM_BUDGET_HO_X = 12 * 2**20
 
 __all__ = ["fused_ho_dir", "ho_coeff_tables", "ho_fits"]
 
@@ -275,18 +292,36 @@ def ho_fits(axis: int, lshape, dtype, K1: int, interpret: bool = False) -> bool:
             and _tz_ho_x(nx, nz, ny, dtype, K1) is not None)
 
 
+def _rows_z(n: int, K1: int) -> int:
+    """Exact Mosaic VMEM footprint of the z HO kernel per (ts, tc) tile slot,
+    in units of (ts, tc) element rows: acc/v/out cell blocks hold K1*n rows
+    each and are double-buffered (6*K1*n), the 4 face blocks hold
+    2*(n+1) + 2*n rows and are double-buffered too, and the zf scratch holds
+    n+1 (single-buffered).  The solve axis is a LEADING block dim here — no
+    sublane padding.  Footprint bytes = rows * ts * tc * itemsize."""
+    return 6 * K1 * n + 2 * (2 * (n + 1) + 2 * n) + (n + 1)
+
+
+def _rows_y(n: int, K1: int) -> int:
+    """Exact Mosaic VMEM footprint of the y HO kernel, in (ts, tc) rows.  The
+    cell blocks put the solve axis in the SUBLANE position -> n pads to 8;
+    the vt scratch keeps n leading (no pad).  Verified to-the-byte against
+    Mosaic's scoped-vmem report: K1=3, n=114 -> 3533 rows = 13.80 MiB (the
+    measured number in the compile OOM)."""
+    n8 = _pad_up(n, 8)
+    return 6 * K1 * n8 + 2 * (2 * (n + 1) + 2 * n) + (n + 1) + K1 * n
+
+
 def _tiles_ho(n: int, s12, dtype, K1: int):
-    """(ts, tc) for the z-direction HO kernel, or None when the VMEM budget
-    underflows the minimum tile.  Footprints: 3*K1 streamed cell planes
-    (v/acc/out, double-buffered) + 4 face planes + 1 scratch."""
+    """(ts, tc) for the z-direction HO kernel, or None when even the minimum
+    (8, 128) tile exceeds the calibrated VMEM budget (see _rows_z)."""
     itemsize = jnp.dtype(dtype).itemsize
-    fp = 6 * K1 + 9
-    tc = _round_down(min(256, _VMEM_BUDGET_HO // (fp * 8 * (n + 1) * itemsize)),
-                     128)
+    rows = _rows_z(n, K1)
+    tc = _round_down(min(256, _VMEM_BUDGET_HO // (rows * 8 * itemsize)), 128)
     if tc == 0:
         return None
     tc = min(tc, _pad_up(s12[1], 128))
-    ts = _round_down(min(8, _VMEM_BUDGET_HO // (fp * (n + 1) * tc * itemsize)), 8)
+    ts = _round_down(min(8, _VMEM_BUDGET_HO // (rows * tc * itemsize)), 8)
     if ts == 0:
         return None
     ts = min(ts, _pad_up(s12[0], 8))
@@ -294,17 +329,17 @@ def _tiles_ho(n: int, s12, dtype, K1: int):
 
 
 def _tiles_ho_y(n: int, s02, dtype, K1: int):
-    """(ts, tc) for the y-direction HO kernel.  Footprints: 3*K1 streamed cell
-    planes (double-buffered) + 4 staged face planes + K1+1 scratches (vt is
-    overwritten in place on the backward pass)."""
+    """(ts, tc) for the y-direction HO kernel, or None when even the minimum
+    (8, 128) tile exceeds the calibrated VMEM budget (see _rows_y; the old
+    plane-count heuristic approved K1=3 n=114 and K1=2 n=152, both of which
+    die at Mosaic compile with a vmem stack OOM on the v5e)."""
     itemsize = jnp.dtype(dtype).itemsize
-    fp = 6 * K1 + 4 + K1 + 1
-    tc = _round_down(min(256, _VMEM_BUDGET_HO // (fp * 8 * (n + 1) * itemsize)),
-                     128)
+    rows = _rows_y(n, K1)
+    tc = _round_down(min(256, _VMEM_BUDGET_HO // (rows * 8 * itemsize)), 128)
     if tc == 0:
         return None
     tc = min(tc, _pad_up(s02[1], 128))
-    ts = _round_down(min(8, _VMEM_BUDGET_HO // (fp * (n + 1) * tc * itemsize)), 8)
+    ts = _round_down(min(8, _VMEM_BUDGET_HO // (rows * tc * itemsize)), 8)
     if ts == 0:
         return None
     ts = min(ts, _pad_up(s02[0], 8))
@@ -322,7 +357,7 @@ def _tz_ho_x(n: int, nz: int, ny: int, dtype, K1: int):
     rows = _pad_up(n + 1, 8)
     per_tz = itemsize * (6 * K1 * nyp * npd + 8 * rows * wy
                          + K1 * _pad_up(n, 8) * wy + rows * wy)
-    tz = min(8, int(_VMEM_BUDGET_HO // per_tz), nz)
+    tz = min(8, int(_VMEM_BUDGET_HO_X // per_tz), nz)
     return tz if tz >= 1 else None
 
 

@@ -140,15 +140,43 @@ def test_tile_gates_engage_at_benchmark_meshes():
     from neutfem_tpu.ops.pallas_fused_ho import _tiles_ho, _tiles_ho_y, _tz_ho_x
     from neutfem_tpu.ops.pallas_fused import _tiles as _tiles_rt0
 
-    # RT1-P1 (K1=2): IAEA-3D 6x6x4 (76,114,114) and 8x8x6 (114,152,152)
-    for n, s in ((114, (76, 114)), (152, (114, 152))):
-        assert _tiles_ho_y(n, s, jnp.float32, 2) is not None
+    # RT1-P1 (K1=2): IAEA-3D 6x6x4 (76,114,114) — hardware-validated engaged
+    assert _tiles_ho_y(114, (76, 114), jnp.float32, 2) is not None
     assert _tiles_ho(76, (114, 114), jnp.float32, 2) is not None
     assert _tz_ho_x(114, 76, 114, jnp.float32, 2) is not None
     assert _tz_ho_x(152, 114, 152, jnp.float32, 2) is not None
+    # RT2-P2 (K1=3): the 5.9M-DOF validated mesh
+    assert _tiles_ho_y(76, (38, 76), jnp.float32, 3) is not None
+    # z engages out to n=152 at K1=2 (12.49 MiB, the calibration ceiling)
+    assert _tiles_ho(152, (114, 152), jnp.float32, 2) is not None
     # RT0: the 2.6M/3.5M meshes have n=152 on every axis
     for rel in (0, 1):
         assert _tiles_rt0((152, 152, 152), jnp.float32, rel) is not None
+
+
+def test_tile_gates_decline_vmem_oom_shapes():
+    """Regression: shapes whose exact Mosaic footprint exceeds the calibrated
+    v5e VMEM stack capacity must DECLINE (return None) — the old plane-count
+    heuristic approved them and the compile OOM killed the whole solve
+    (found by the 26.7M-DOF RT2-P2 probe; both shapes reproduced standalone
+    on hardware: 'Ran out of memory in memory space vmem')."""
+    import jax.numpy as jnp
+
+    from neutfem_tpu.ops.pallas_fused_ho import (_rows_y, _tiles_ho,
+                                                 _tiles_ho_y)
+
+    # measured-crashing: y @ K1=3 n=114 (13.80 MiB) and y @ K1=2 n=152 (13.67)
+    assert _tiles_ho_y(114, (76, 114), jnp.float32, 3) is None
+    assert _tiles_ho_y(152, (114, 152), jnp.float32, 2) is None
+    # the smallest measured-crashing footprint: y @ K1=2 n=144 (12.96 MiB)
+    assert _tiles_ho_y(144, (64, 128), jnp.float32, 2) is None
+    # the footprint model is pinned to Mosaic's own scoped-vmem report:
+    # K1=3, n=114 -> 3533 (ts=8, tc=128) rows = 13.80 MiB exactly
+    assert _rows_y(114, 3) == 3533
+    # bfloat16 halves the footprint: the K1=3 n=114 shape fits again
+    assert _tiles_ho_y(114, (76, 114), jnp.bfloat16, 3) is not None
+    # z is leaner (no sublane pad, 1 scratch) but must decline eventually too
+    assert _tiles_ho(152, (114, 152), jnp.float32, 3) is None
 
 
 def test_block_precond_stored_bf16_for_f32():
