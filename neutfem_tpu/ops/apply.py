@@ -309,7 +309,7 @@ def solve_A(fes: FESpace, ctx: Dict, rhs_by_dir, a_mode: str):
     return out
 
 
-def _fused_sharded(sh, acc, v, scale, dm, lf, axis, bx0, bx1, interpret=False):
+def _fused_sharded(sh, acc, v, dm, lf, axis, bx0, bx1, si, interpret=False):
     """shard_map wrapper for the fused direction kernel under spatial sharding.
     Returns None unless the direction is orthogonal to every cut, all cut axes
     shard evenly, and the PER-SHARD local shape passes the kernel gates."""
@@ -338,18 +338,19 @@ def _fused_sharded(sh, acc, v, scale, dm, lf, axis, bx0, bx1, interpret=False):
             s[a.ndim - 3 + ga] = nm
         return P(*s)
 
-    def body(o, vv, sc, d_, l_):
-        r = fused_schur_dir(o, vv, sc, d_, l_, axis, bx0, bx1, interpret=interpret)
+    def body(o, vv, d_, l_):
+        r = fused_schur_dir(o, vv, d_, l_, axis, bx0, bx1, si,
+                            interpret=interpret)
         assert r is not None  # guaranteed by the fused_fits pre-check
         return r
 
     return shard_map(
         body, mesh=mesh,
-        in_specs=tuple(spec_for(a) for a in (acc, v, scale, dm, lf)),
+        in_specs=tuple(spec_for(a) for a in (acc, v, dm, lf)),
         out_specs=spec_for(acc),
         # pallas_call's ShapeDtypeStruct outputs carry no vma annotation
         check_vma=False,
-    )(acc, v, scale, dm, lf)
+    )(acc, v, dm, lf)
 
 
 def _fused_sharded_ho(sh, fes, di, acc, v, ctx, tables, interpret=False):
@@ -397,8 +398,7 @@ def _fused_sharded_ho(sh, fes, di, acc, v, ctx, tables, interpret=False):
     nz, ny, nx = v.shape[-3:]
     spec_op = [None, None, None]
     if di.axis == 0:  # natural operand dims are (z, y, x)
-        ops = (jnp.broadcast_to(ctx[f"mask_{key}"], (nz + 1, ny, nx)),
-               jnp.broadcast_to(ctx[f"tri_dinvm_{key}"], (nz + 1, ny, nx)),
+        ops = (jnp.broadcast_to(ctx[f"tri_dinvm_{key}"], (nz + 1, ny, nx)),
                jnp.broadcast_to(ctx[f"tri_l_{key}"], (nz, ny, nx)),
                jnp.broadcast_to(ctx[f"alpha_{key}"], (nz, ny, nx)))
         for ga, nm in amap.items():
@@ -406,14 +406,14 @@ def _fused_sharded_ho(sh, fes, di, acc, v, ctx, tables, interpret=False):
     elif di.axis == 1:  # staged operand dims are (y, z, x)
         if f"tri_hoyT_dinvm_{key}" not in ctx:
             return None
-        ops = (ctx[f"hoyT_mask_{key}"], ctx[f"tri_hoyT_dinvm_{key}"],
+        ops = (ctx[f"tri_hoyT_dinvm_{key}"],
                ctx[f"tri_hoyT_l_{key}"], ctx[f"tri_hoyT_alpha_{key}"])
         for ga, nm in amap.items():
             spec_op[{0: 1, 2: 2}[ga]] = nm
     else:  # x: lane-packed 2D staged operands, pure z cut only
         if f"tri_hoxT_dinvm_{key}" not in ctx or set(amap) != {0}:
             return None
-        ops = (ctx[f"hoxT_mask_{key}"], ctx[f"tri_hoxT_dinvm_{key}"],
+        ops = (ctx[f"tri_hoxT_dinvm_{key}"],
                ctx[f"tri_hoxT_l_{key}"], ctx[f"tri_hoxT_alpha_{key}"])
         spec_op = [None, amap[0]]
     spec_op = P(*spec_op)
@@ -422,15 +422,15 @@ def _fused_sharded_ho(sh, fes, di, acc, v, ctx, tables, interpret=False):
         spec_v[v.ndim - 3 + ga] = nm
     spec_v = P(*spec_v)
 
-    def body(o, vv, m_, d_, l_, a_):
-        r = fused_ho_dir(fes, di, o, vv, m_, d_, l_, a_, tables,
+    def body(o, vv, d_, l_, a_):
+        r = fused_ho_dir(fes, di, o, vv, d_, l_, a_, tables,
                          interpret=interpret)
         assert r is not None  # guaranteed by the ho_fits pre-check
         return r
 
     return shard_map(
         body, mesh=mesh,
-        in_specs=(spec_v, spec_v, spec_op, spec_op, spec_op, spec_op),
+        in_specs=(spec_v, spec_v, spec_op, spec_op, spec_op),
         out_specs=spec_v,
         # pallas_call's ShapeDtypeStruct outputs carry no vma annotation
         check_vma=False,
@@ -458,7 +458,7 @@ def eqfold_available(fes: FESpace, ctx: Dict, shape, dtype, a_mode: str,
     if os.environ.get("NEUTFEM_PALLAS", "1") == "0":
         return False
     if "precond_eq_sdi" not in ctx or "tri_xT_dinvm_d0" not in ctx \
-            or "tri_yT_dinvm_d1" not in ctx or "scale_fused_d2" not in ctx:
+            or "tri_yT_dinvm_d1" not in ctx or "tri_dinvm_d2" not in ctx:
         return False
     if any(f"cyc_wt_d{di.d}" in ctx for di in fes.dirs):
         return False  # periodic directions use the Sherman-Morrison path
@@ -518,39 +518,40 @@ def equilibrated_schur_matvec(fes: FESpace, ctx: Dict, y, a_mode: str,
     sdi = ctx["precond_eq_sdi"]
     ce = ctx["precond_eq_csdi"]
     bx = lambda d, i: float(dis[d].BX[i, 0, 0])
+    sinv = lambda d: 1.0 / float(dis[d].m_t[0])
     dm_z = jnp.expand_dims(ctx["tri_dinvm_d2"], -4)
     l_z = jnp.expand_dims(ctx["tri_l_d2"], -4)
     mode = os.environ.get("NEUTFEM_EQFOLD", "2")
     if mode == "2":
         acc = fused_schur_x_eq2(
-            y, sdi, ce, ctx["fusedxT_scale_d0"], ctx["tri_xT_dinvm_d0"],
-            ctx["tri_xT_l_d0"], bx(0, 0), bx(0, 1), interpret=interpret)
+            y, sdi, ce, ctx["tri_xT_dinvm_d0"],
+            ctx["tri_xT_l_d0"], bx(0, 0), bx(0, 1), sinv(0), interpret=interpret)
         assert acc is not None, "eqfold x kernel declined after eqfold_available"
         acc = fused_schur_y_eq2(
-            acc, y, sdi, ctx["fusedyT_scale_d1"], ctx["tri_yT_dinvm_d1"],
-            ctx["tri_yT_l_d1"], bx(1, 0), bx(1, 1), interpret=interpret)
+            acc, y, sdi, ctx["tri_yT_dinvm_d1"],
+            ctx["tri_yT_l_d1"], bx(1, 0), bx(1, 1), sinv(1), interpret=interpret)
         assert acc is not None, "eqfold y kernel declined after eqfold_available"
         out = fused_schur_z_eq2(
-            acc, y, sdi, ctx["scale_fused_d2"], dm_z, l_z,
-            bx(2, 0), bx(2, 1), interpret=interpret)
+            acc, y, sdi, dm_z, l_z,
+            bx(2, 0), bx(2, 1), sinv(2), interpret=interpret)
         assert out is not None, "eqfold z kernel declined after eqfold_available"
         return out
 
     acc_u = fused_schur_x_eq(
-        y, sdi, ce, ctx["fusedxT_scale_d0"],
+        y, sdi, ce,
         ctx["tri_xT_dinvm_d0"], ctx["tri_xT_l_d0"],
-        bx(0, 0), bx(0, 1), interpret=interpret,
+        bx(0, 0), bx(0, 1), sinv(0), interpret=interpret,
     )
     assert acc_u is not None, "eqfold x kernel declined after eqfold_available"
     acc, u = acc_u
     acc = fused_schur_y_pre(
-        acc, u, ctx["fusedyT_scale_d1"], ctx["tri_yT_dinvm_d1"],
-        ctx["tri_yT_l_d1"], bx(1, 0), bx(1, 1), interpret=interpret,
+        acc, u, ctx["tri_yT_dinvm_d1"],
+        ctx["tri_yT_l_d1"], bx(1, 0), bx(1, 1), sinv(1), interpret=interpret,
     )
     assert acc is not None, "eqfold y kernel declined after eqfold_available"
     out = fused_schur_z_eq(
-        acc, u, ctx["scale_fused_d2"], dm_z, l_z, sdi,
-        bx(2, 0), bx(2, 1), interpret=interpret,
+        acc, u, dm_z, l_z, sdi,
+        bx(2, 0), bx(2, 1), sinv(2), interpret=interpret,
     )
     assert out is not None, "eqfold z kernel declined after eqfold_available"
     return out
@@ -627,17 +628,15 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
                                             ho_coeff_tables(fes, di))
                 else:
                     if di.axis == 1 and f"tri_hoyT_dinvm_{key}" in ctx:
-                        ops = (ctx[f"hoyT_mask_{key}"],
-                               ctx[f"tri_hoyT_dinvm_{key}"],
+                        ops = (ctx[f"tri_hoyT_dinvm_{key}"],
                                ctx[f"tri_hoyT_l_{key}"],
                                ctx[f"tri_hoyT_alpha_{key}"])
                     elif di.axis == 2 and f"tri_hoxT_dinvm_{key}" in ctx:
-                        ops = (ctx[f"hoxT_mask_{key}"],
-                               ctx[f"tri_hoxT_dinvm_{key}"],
+                        ops = (ctx[f"tri_hoxT_dinvm_{key}"],
                                ctx[f"tri_hoxT_l_{key}"],
                                ctx[f"tri_hoxT_alpha_{key}"])
                     else:
-                        ops = (ctx[f"mask_{key}"], ctx[f"tri_dinvm_{key}"],
+                        ops = (ctx[f"tri_dinvm_{key}"],
                                ctx[f"tri_l_{key}"], ctx[f"alpha_{key}"])
                     res = fused_ho_dir(fes, di, out, v, *ops,
                                        ho_coeff_tables(fes, di))
@@ -663,7 +662,7 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
             else:
                 out = out + jnp.einsum("...qzyx,pq->...pzyx", v, Q) / alpha_e
             continue
-        if use_fused and f"cyc_wt_{key}" not in ctx and f"scale_fused_{key}" in ctx:
+        if use_fused and f"cyc_wt_{key}" not in ctx and f"tri_dinvm_{key}" in ctx:
             from .pallas_fused import (
                 fused_schur_dir,
                 fused_schur_x_pre,
@@ -672,15 +671,17 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
 
             bx0 = float(di.BX[0, 0, 0])
             bx1 = float(di.BX[1, 0, 0])
+            si = 1.0 / float(di.m_t[0])  # static rhs scale (mask folded into
+            # dm/l at build — see the pallas_fused module docstring)
             prestaged = os.environ.get("NEUTFEM_PRESTAGED", "1") != "0"
             if prestaged and sh is None and f"tri_xT_dinvm_{key}" in ctx:
                 # x direction with pre-transposed solve-constant operands: the
                 # kernel only transposes v/out (declines to the broadcast kernel
                 # for batched group layouts or small meshes)
                 res = fused_schur_x_pre(
-                    out, v, ctx[f"fusedxT_scale_{key}"],
+                    out, v,
                     ctx[f"tri_xT_dinvm_{key}"], ctx[f"tri_xT_l_{key}"],
-                    bx0, bx1,
+                    bx0, bx1, si,
                 )
                 if res is not None:
                     out = res
@@ -688,9 +689,9 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
             if prestaged and sh is None and f"tri_yT_dinvm_{key}" in ctx:
                 # y direction with solve-axis-major staged operands
                 res = fused_schur_y_pre(
-                    out, v, ctx[f"fusedyT_scale_{key}"],
+                    out, v,
                     ctx[f"tri_yT_dinvm_{key}"], ctx[f"tri_yT_l_{key}"],
-                    bx0, bx1,
+                    bx0, bx1, si,
                 )
                 if res is not None:
                     out = res
@@ -699,16 +700,16 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
             lf = jnp.expand_dims(ctx[f"tri_l_{key}"], -4)
             if sh is None:
                 res = fused_schur_dir(
-                    out, v, ctx[f"scale_fused_{key}"], dm, lf, di.axis - 3,
-                    bx0, bx1,
+                    out, v, dm, lf, di.axis - 3,
+                    bx0, bx1, si,
                 )
             else:
                 # direction orthogonal to every mesh cut: per-shard fused kernel
                 # on complete local lines (shard_map); cut directions take the
                 # partitionable unfused path below
                 res = _fused_sharded(
-                    sh, out, v, ctx[f"scale_fused_{key}"], dm, lf, di.axis - 3,
-                    bx0, bx1,
+                    sh, out, v, dm, lf, di.axis - 3,
+                    bx0, bx1, si,
                 )
             if res is not None:
                 out = res

@@ -302,10 +302,12 @@ def build_context(
             # additionally take their solve-constant operands pre-staged in the
             # layout the recurrence reads (solve-axis-major for y, transposed
             # (n, rows) for x) — same rationale as the RT0 _pre variants.
+            # The mask itself is NOT staged: like the RT0 kernels, pinned
+            # faces already have l = 0 and dinvm = 0, so the kernels' rhs
+            # needs no mask plane (pallas_fused_ho module docstring).
             dmm = dinv * mask[None]
             ctx_np[f"tri_dinvm_{key}"] = dmm
             if ax == 1:
-                ctx_np[f"hoyT_mask_{key}"] = np.moveaxis(mask, 1, 0)
                 ctx_np[f"tri_hoyT_dinvm_{key}"] = np.moveaxis(dmm, 2, 1)
                 ctx_np[f"tri_hoyT_l_{key}"] = np.moveaxis(l, 2, 1)
                 ctx_np[f"tri_hoyT_alpha_{key}"] = np.moveaxis(alpha, 2, 1)
@@ -327,24 +329,24 @@ def build_context(
                     out[..., :ny_] = m
                     return out.reshape(*m.shape[:-2], nz_ * wy)
 
-                ctx_np[f"hoxT_mask_{key}"] = _pack(mask, 0.0)
                 ctx_np[f"tri_hoxT_dinvm_{key}"] = _pack(dmm, 0.0)
                 ctx_np[f"tri_hoxT_l_{key}"] = _pack(l, 0.0)
                 ctx_np[f"tri_hoxT_alpha_{key}"] = _pack(alpha, 1.0)
         if et.k == 0 and fes.m == 0 and l is not None:
-            # RT0 fused-kernel operands (ops/pallas_fused.py): the pre-masked
-            # scale mask/m_t (group-independent) and dinv*mask (group-sliced)
-            sc = mask / di.m_t[0]
+            # RT0 fused-kernel operands (ops/pallas_fused.py): dinv*mask
+            # (group-sliced).  The rhs scale is NOT staged: mask/m_t reduces to
+            # the static scalar 1/m_t for the kernels (the mask component is
+            # redundant — pinned faces already have l = 0 and dinvm = 0; see
+            # the pallas_fused module docstring), saving one face-plane HBM
+            # pass per kernel call.
             dmm = dinv * mask[None]
-            ctx_np[f"scale_fused_{key}"] = sc
             ctx_np[f"tri_dinvm_{key}"] = dmm
             if ax == 2:
-                # x direction (solve axis minor): stage the three solve-constant
+                # x direction (solve axis minor): stage the solve-constant
                 # operands PRE-TRANSPOSED to (n_faces, nz*ny) so the fused x
                 # kernel transposes only v/out in VMEM (2 in-kernel transposes
                 # instead of 5 — round-2 VERDICT Weak #3).  "tri_" prefix keeps
                 # the group axis sliced by power.ctx_group.
-                ctx_np[f"fusedxT_scale_{key}"] = sc.reshape(-1, sc.shape[-1]).T
                 ctx_np[f"tri_xT_dinvm_{key}"] = np.swapaxes(
                     dmm.reshape(ng, -1, dmm.shape[-1]), -1, -2)
                 ctx_np[f"tri_xT_l_{key}"] = np.swapaxes(
@@ -352,8 +354,7 @@ def build_context(
             elif ax == 1:
                 # y direction: stage solve-axis-MAJOR (ny+1, nz, nx) so the
                 # fused y kernel reads whole (ts, tc) tiles per recurrence step
-                # without relayouting s/dm/l in VMEM (3 scratches fewer)
-                ctx_np[f"fusedyT_scale_{key}"] = np.moveaxis(sc, 1, 0)
+                # without relayouting dm/l in VMEM (relayout scratches fewer)
                 ctx_np[f"tri_yT_dinvm_{key}"] = np.moveaxis(dmm, 2, 1)
                 ctx_np[f"tri_yT_l_{key}"] = np.moveaxis(l, 2, 1)
 

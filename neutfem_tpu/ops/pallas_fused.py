@@ -4,9 +4,9 @@ The unfused RT0-P0 hot path per direction costs ~9 HBM array passes per CG
 iteration: apply_BT (read v, write rF), mask/scale fusion (read rF, write rFs),
 Thomas kernel (read rFs/dinv/l, write F), apply_B (read F, accumulate out).  All
 of it is a 1D chain along the solve axis, so it fits in VMEM per block: these
-kernels read (v, acc, scale, dinv·mask, l), run the face-rhs construction, the
+kernels read (v, acc, dinv·mask, l), run the face-rhs construction, the
 Thomas recurrence, and the divergence accumulation inside the block, and write
-``acc + B_d A_d^{-1} B_d^T v`` — 6 array passes, no intermediate face arrays in
+``acc + B_d A_d^{-1} B_d^T v`` — 5 array passes, no intermediate face arrays in
 HBM.  The accumulator is aliased input->output.
 
 Scope: the RT0 fast path only (P = T = 1, no bubbles, no PERIODIC direction,
@@ -16,9 +16,19 @@ Per-direction recurrence (f = face index 0..n, e = cell index 0..n-1; BX0/BX1 ar
 the two scalar divergence-pairing entries, reference FEM.cpp:822-831):
 
     rF_f  = BX1 v_{f-1} + BX0 v_f                (v out of range = 0)
-    z_0   = rF_0 s_0;   z_f = rF_f s_f - l_{f-1} z_{f-1}      [s = mask/m_t]
+    z_0   = rF_0 si;    z_f = rF_f si - l_{f-1} z_{f-1}       [si = 1/m_t]
     F_n   = z_n dm_n;   F_f = z_f dm_f - l_f F_{f+1}          [dm = dinv*mask]
     out_e = acc_e + BX0 F_e + BX1 F_{e+1}
+
+The rhs scale used to be streamed as a face PLANE s = mask/m_t (one of six HBM
+passes per kernel).  It is provably the single STATIC scalar si = 1/m_t
+(round 3): mask pins only boundary faces (MIRROR/NEUMANN-0, context.py), and a
+pinned face f has offd_f-adjacent = 0 at build => its LDL^T factor l = 0 AND
+dm_f = dinv_f*mask_f = 0 — so every path a wrong z_f at a pinned face could
+propagate through (l_0 z_0 forward, z dm in F, l_{n-1} z_{n-1}) is multiplied
+by an exact 0.  Outputs are BITWISE identical to the plane form; the kernels
+take si as a compile-time float like bx0/bx1.  (PERIODIC directions never
+reach these kernels, and m_t is a single static mode mass for RT0.)
 
 The backward sweep emits out_e the moment F_e is known, so one (n+1)-row VMEM
 scratch serves both z and F.  Same kernel math in three block layouts chosen by
@@ -45,10 +55,12 @@ from .pallas_tridiag import _pad_up, _round_down
 # Like the HO kernels (pallas_fused_ho.py), the fused RT0 kernels hold whole
 # solve-axis panels in VMEM, so the conservative 8 MiB tridiag budget silently
 # declined the y/z kernels at the 2.6M/3.5M benchmark meshes (n = 152 -> the
-# minimum (8, 128) tile underflows).  VMEM is ~16 MiB/core: budget 12 MiB and
-# tell Mosaic explicitly.
+# minimum (8, 128) tile underflows).  VMEM is ~16 MiB/core: budget 12 MiB of
+# modeled footprint, and hand Mosaic the 15 MiB limit the round-3b probes
+# showed the v5e accepts and runs (the 3 MiB gap absorbs any model error —
+# see the margin design note in pallas_fused_ho.py).
 _VMEM_BUDGET = 12 * 2**20
-_VMEM_LIMIT = 13 * 2**20
+_VMEM_LIMIT = 15 * 2**20
 
 __all__ = ["fused_schur_dir", "fused_fits", "fused_schur_x_pre",
            "fused_schur_y_pre", "fused_schur_x_eq", "fused_schur_z_eq",
@@ -115,16 +127,16 @@ def fused_fits(shape, dtype, axis: int, interpret: bool = False) -> bool:
     return s1 * s2 >= 512
 
 
-def _body_z(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, *, bx0, bx1):
-    """Blocks: acc/v/out (1, n, ts, tc); s/dm (1, n+1, ts, tc); l (1, n, ts, tc);
+def _body_z(acc_ref, v_ref, dm_ref, l_ref, out_ref, zf, *, bx0, bx1, si):
+    """Blocks: acc/v/out (1, n, ts, tc); dm (1, n+1, ts, tc); l (1, n, ts, tc);
     scratch zf (n+1, ts, tc).  Recurrence over axis 1."""
     n = v_ref.shape[1]  # cells
 
-    zf[0] = (bx0 * v_ref[0, 0]) * s_ref[0, 0]
+    zf[0] = (bx0 * v_ref[0, 0]) * si
 
     def fwd(f, z_prev):
         rf = bx1 * v_ref[0, f - 1] + jnp.where(f < n, bx0, 0.0) * v_ref[0, jnp.minimum(f, n - 1)]
-        z = rf * s_ref[0, f] - l_ref[0, f - 1] * z_prev
+        z = rf * si - l_ref[0, f - 1] * z_prev
         zf[f] = z
         return z
 
@@ -142,9 +154,9 @@ def _body_z(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, *, bx0, bx1):
     jax.lax.fori_loop(0, n, bwd, f_next)
 
 
-def _body_y(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, vt, st, dt_, lt, ot,
-            *, bx0, bx1):
-    """Blocks: acc/v/out (1, ts, n, tc); s/dm (1, ts, n+1, tc); l (1, ts, n, tc).
+def _body_y(acc_ref, v_ref, dm_ref, l_ref, out_ref, zf, vt, dt_, lt, ot,
+            *, bx0, bx1, si):
+    """Blocks: acc/v/out (1, ts, n, tc); dm (1, ts, n+1, tc); l (1, ts, n, tc).
 
     The recurrence must slice per solve-axis index; slicing [:, f, :] cuts the
     SUBLANE axis of the (n, tc)-tiled block (strided 1/8-utilization reads per
@@ -152,15 +164,14 @@ def _body_y(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, vt, st, dt_, lt, 
     scratch whose [f] slices are whole (ts, tc) tiles, like the z kernel."""
     n = v_ref.shape[2]
     vt[:] = jnp.swapaxes(v_ref[0], 0, 1)
-    st[:] = jnp.swapaxes(s_ref[0], 0, 1)
     dt_[:] = jnp.swapaxes(dm_ref[0], 0, 1)
     lt[:] = jnp.swapaxes(l_ref[0], 0, 1)
 
-    zf[0] = (bx0 * vt[0]) * st[0]
+    zf[0] = (bx0 * vt[0]) * si
 
     def fwd(f, z_prev):
         rf = bx1 * vt[f - 1] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1)]
-        z = rf * st[f] - lt[f - 1] * z_prev
+        z = rf * si - lt[f - 1] * z_prev
         zf[f] = z
         return z
 
@@ -179,22 +190,22 @@ def _body_y(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, vt, st, dt_, lt, 
     out_ref[0] = acc_ref[0] + jnp.swapaxes(ot[:], 0, 1)
 
 
-def _body_xT(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, vt, ot, *, bx0, bx1):
-    """Pre-transposed x variant: s/dm/l arrive already staged as (n+1 / n+1 / n, B)
+def _body_xT(acc_ref, v_ref, dm_ref, l_ref, out_ref, vt, ot, *, bx0, bx1, si):
+    """Pre-transposed x variant: dm/l arrive already staged as (n+1 / n, B)
     arrays (built once per context — they are solve-constant), so the kernel
     transposes only v in and the accumulated result out (2 in-kernel transposes
     instead of 5; round-2 VERDICT Weak #3).  Blocks: acc/v/out (tb, n);
-    s/dm (n+1, tb); l (n, tb).  Scratches: vt (n, tb) [v, then the out
+    dm (n+1, tb); l (n, tb).  Scratches: vt (n, tb) [v, then the out
     contribution], ot (n+1, tb) [z, then F]."""
     n = v_ref.shape[1]
     vt[:] = v_ref[:].T
 
-    z0 = (bx0 * vt[0, :]) * s_ref[0, :]
+    z0 = (bx0 * vt[0, :]) * si
     ot[0, :] = z0
 
     def fwd(f, z_prev):
         rf = bx1 * vt[f - 1, :] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1), :]
-        z = rf * s_ref[f, :] - l_ref[f - 1, :] * z_prev
+        z = rf * si - l_ref[f - 1, :] * z_prev
         ot[f, :] = z
         return z
 
@@ -213,26 +224,26 @@ def _body_xT(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, vt, ot, *, bx0, bx1)
     out_ref[:] = acc_ref[:] + vt[:n, :].T
 
 
-def _body_xT_eq(y_ref, sdi_ref, ce_ref, s_ref, dm_ref, l_ref, out_ref, u_ref,
-                vt, ot, *, bx0, bx1):
+def _body_xT_eq(y_ref, sdi_ref, ce_ref, dm_ref, l_ref, out_ref, u_ref,
+                vt, ot, *, bx0, bx1, si):
     """Equilibration-folded x variant (first direction of the matvec chain):
     computes u = sdi*y in VMEM (emitted as a second output for the y/z kernels),
     runs the recurrence on u, and writes out = ce*y + B_x A_x^{-1} B_x^T u where
     ce = C*sdi (so the last kernel's final sdi scaling yields the C*sdi^2 term of
     the symmetrically equilibrated Schur operator).  Replaces the separate
     pre-scale (3 HBM passes) and C-product (3 passes) of the classic wrapper.
-    Blocks: y/sdi/ce/out/u (tb, n); s/dm (n+1, tb); l (n, tb)."""
+    Blocks: y/sdi/ce/out/u (tb, n); dm (n+1, tb); l (n, tb)."""
     n = y_ref.shape[1]
     u = y_ref[:] * sdi_ref[:]
     u_ref[:] = u
     vt[:] = u.T
 
-    z0 = (bx0 * vt[0, :]) * s_ref[0, :]
+    z0 = (bx0 * vt[0, :]) * si
     ot[0, :] = z0
 
     def fwd(f, z_prev):
         rf = bx1 * vt[f - 1, :] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1), :]
-        z = rf * s_ref[f, :] - l_ref[f - 1, :] * z_prev
+        z = rf * si - l_ref[f - 1, :] * z_prev
         ot[f, :] = z
         return z
 
@@ -251,19 +262,19 @@ def _body_xT_eq(y_ref, sdi_ref, ce_ref, s_ref, dm_ref, l_ref, out_ref, u_ref,
     out_ref[:] = ce_ref[:] * y_ref[:] + vt[:n, :].T
 
 
-def _body_z_eq(acc_ref, u_ref, s_ref, dm_ref, l_ref, sdi_ref, out_ref, zf,
-               *, bx0, bx1):
+def _body_z_eq(acc_ref, u_ref, dm_ref, l_ref, sdi_ref, out_ref, zf,
+               *, bx0, bx1, si):
     """Post-scale-folded z variant (last direction of the matvec chain): the
     recurrence of _body_z on u, with the final symmetric-equilibration scaling
     out = sdi * (acc + B_z A_z^{-1} B_z^T u) applied in VMEM — replaces the
     separate post-scale (3 HBM passes).  Blocks as _body_z plus sdi (1,n,ts,tc)."""
     n = u_ref.shape[1]
 
-    zf[0] = (bx0 * u_ref[0, 0]) * s_ref[0, 0]
+    zf[0] = (bx0 * u_ref[0, 0]) * si
 
     def fwd(f, z_prev):
         rf = bx1 * u_ref[0, f - 1] + jnp.where(f < n, bx0, 0.0) * u_ref[0, jnp.minimum(f, n - 1)]
-        z = rf * s_ref[0, f] - l_ref[0, f - 1] * z_prev
+        z = rf * si - l_ref[0, f - 1] * z_prev
         zf[f] = z
         return z
 
@@ -281,8 +292,8 @@ def _body_z_eq(acc_ref, u_ref, s_ref, dm_ref, l_ref, sdi_ref, out_ref, zf,
     jax.lax.fori_loop(0, n, bwd, f_next)
 
 
-def _body_xT_eq2(y_ref, sdi_ref, ce_ref, s_ref, dm_ref, l_ref, out_ref,
-                 vt, ot, *, bx0, bx1):
+def _body_xT_eq2(y_ref, sdi_ref, ce_ref, dm_ref, l_ref, out_ref,
+                 vt, ot, *, bx0, bx1, si):
     """Recompute-u x variant: u = sdi*y is formed in VMEM (never materialized
     in HBM — the y/z kernels recompute it from the same two operands), the
     C*sdi term folds as ce*y, single output.  Blocks as _body_xT_eq minus the
@@ -290,12 +301,12 @@ def _body_xT_eq2(y_ref, sdi_ref, ce_ref, s_ref, dm_ref, l_ref, out_ref,
     n = y_ref.shape[1]
     vt[:] = (y_ref[:] * sdi_ref[:]).T
 
-    z0 = (bx0 * vt[0, :]) * s_ref[0, :]
+    z0 = (bx0 * vt[0, :]) * si
     ot[0, :] = z0
 
     def fwd(f, z_prev):
         rf = bx1 * vt[f - 1, :] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1), :]
-        z = rf * s_ref[f, :] - l_ref[f - 1, :] * z_prev
+        z = rf * si - l_ref[f - 1, :] * z_prev
         ot[f, :] = z
         return z
 
@@ -314,18 +325,18 @@ def _body_xT_eq2(y_ref, sdi_ref, ce_ref, s_ref, dm_ref, l_ref, out_ref,
     out_ref[:] = ce_ref[:] * y_ref[:] + vt[:n, :].T
 
 
-def _body_yT_eq2(acc_ref, y_ref, sdi_ref, s_ref, dm_ref, l_ref, out_ref,
-                 zf, vt, ot, *, bx0, bx1):
+def _body_yT_eq2(acc_ref, y_ref, sdi_ref, dm_ref, l_ref, out_ref,
+                 zf, vt, ot, *, bx0, bx1, si):
     """Recompute-u y variant of _body_yT: relayouts u = sdi*y instead of a
     pre-materialized u; keeps the acc->out alias."""
     n = y_ref.shape[2]
     vt[:] = jnp.swapaxes(y_ref[0] * sdi_ref[0], 0, 1)
 
-    zf[0] = (bx0 * vt[0]) * s_ref[0]
+    zf[0] = (bx0 * vt[0]) * si
 
     def fwd(f, z_prev):
         rf = bx1 * vt[f - 1] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1)]
-        z = rf * s_ref[f] - l_ref[f - 1] * z_prev
+        z = rf * si - l_ref[f - 1] * z_prev
         zf[f] = z
         return z
 
@@ -344,20 +355,20 @@ def _body_yT_eq2(acc_ref, y_ref, sdi_ref, s_ref, dm_ref, l_ref, out_ref,
     out_ref[0] = acc_ref[0] + jnp.swapaxes(ot[:], 0, 1)
 
 
-def _body_z_eq2(acc_ref, y_ref, sdi_ref, s_ref, dm_ref, l_ref, out_ref, zf,
-                *, bx0, bx1):
+def _body_z_eq2(acc_ref, y_ref, sdi_ref, dm_ref, l_ref, out_ref, zf,
+                *, bx0, bx1, si):
     """Recompute-u + post-scale-folded z variant: the recurrence reads
     u_f = y_f * sdi_f on the fly, and the final symmetric-equilibration scale
     is applied in VMEM; keeps the acc->out alias."""
     n = y_ref.shape[1]
 
-    zf[0] = (bx0 * y_ref[0, 0] * sdi_ref[0, 0]) * s_ref[0, 0]
+    zf[0] = (bx0 * y_ref[0, 0] * sdi_ref[0, 0]) * si
 
     def fwd(f, z_prev):
         fc = jnp.minimum(f, n - 1)
         rf = (bx1 * y_ref[0, f - 1] * sdi_ref[0, f - 1]
               + jnp.where(f < n, bx0, 0.0) * y_ref[0, fc] * sdi_ref[0, fc])
-        z = rf * s_ref[0, f] - l_ref[0, f - 1] * z_prev
+        z = rf * si - l_ref[0, f - 1] * z_prev
         zf[f] = z
         return z
 
@@ -375,20 +386,20 @@ def _body_z_eq2(acc_ref, y_ref, sdi_ref, s_ref, dm_ref, l_ref, out_ref, zf,
     jax.lax.fori_loop(0, n, bwd, f_next)
 
 
-def _body_yT(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, vt, ot, *, bx0, bx1):
-    """Pre-staged y variant: s/dm/l arrive solve-axis-MAJOR — arrays (n+1 / n+1 /
+def _body_yT(acc_ref, v_ref, dm_ref, l_ref, out_ref, zf, vt, ot, *, bx0, bx1, si):
+    """Pre-staged y variant: dm/l arrive solve-axis-MAJOR — arrays (n+1 /
     n, nz, nx), blocks (rows, ts, tc) — so only v is relayouted in (and the
     accumulated contribution out).  3 relayout scratches fewer than _body_y,
     which pushed VMEM near budget (tc capped at 128; round-3 lead in CLAUDE.md).
-    Blocks: acc/v/out (1, ts, n, tc); s/dm (n+1, ts, tc); l (n, ts, tc)."""
+    Blocks: acc/v/out (1, ts, n, tc); dm (n+1, ts, tc); l (n, ts, tc)."""
     n = v_ref.shape[2]
     vt[:] = jnp.swapaxes(v_ref[0], 0, 1)
 
-    zf[0] = (bx0 * vt[0]) * s_ref[0]
+    zf[0] = (bx0 * vt[0]) * si
 
     def fwd(f, z_prev):
         rf = bx1 * vt[f - 1] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1)]
-        z = rf * s_ref[f] - l_ref[f - 1] * z_prev
+        z = rf * si - l_ref[f - 1] * z_prev
         zf[f] = z
         return z
 
@@ -407,27 +418,25 @@ def _body_yT(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, zf, vt, ot, *, bx0, 
     out_ref[0] = acc_ref[0] + jnp.swapaxes(ot[:], 0, 1)
 
 
-def _body_x(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, vt, zf, ot, lt, *, bx0, bx1):
-    """Blocks: acc/v/out (tb, n); s/dm (tb, n+1); l (tb, n).  Scratches (all
+def _body_x(acc_ref, v_ref, dm_ref, l_ref, out_ref, vt, zf, ot, lt, *, bx0, bx1, si):
+    """Blocks: acc/v/out (tb, n); dm (tb, n+1); l (tb, n).  Scratches (all
     transposed so the recurrence runs down sublanes): vt (n, tb) [v, then reused
-    for the out contribution], zf (n+1, tb) [s, then dm], ot (n+1, tb) [z, then
-    F], lt (n, tb) [l]."""
+    for the out contribution], zf (n+1, tb) [dm transposed, backward only],
+    ot (n+1, tb) [z, then F], lt (n, tb) [l]."""
     n = v_ref.shape[1]
     vt[:] = v_ref[:].T
-    zf[:] = s_ref[:].T
     lt[:] = l_ref[:].T
 
-    z0 = (bx0 * vt[0, :]) * zf[0, :]
+    z0 = (bx0 * vt[0, :]) * si
     ot[0, :] = z0
 
     def fwd(f, z_prev):
         rf = bx1 * vt[f - 1, :] + jnp.where(f < n, bx0, 0.0) * vt[jnp.minimum(f, n - 1), :]
-        z = rf * zf[f, :] - lt[f - 1, :] * z_prev
+        z = rf * si - lt[f - 1, :] * z_prev
         ot[f, :] = z
         return z
 
     jax.lax.fori_loop(1, n + 1, fwd, z0)
-    # backward: zf now freed (s no longer needed) — reuse for dm transposed
     zf[:] = dm_ref[:].T
     f_next = ot[n, :] * zf[n, :]
     ot[n, :] = f_next
@@ -443,13 +452,14 @@ def _body_x(acc_ref, v_ref, s_ref, dm_ref, l_ref, out_ref, vt, zf, ot, lt, *, bx
     out_ref[:] = acc_ref[:] + vt[:n, :].T
 
 
-@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "ts", "tc", "interpret"))
-def _fused_z(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "si", "ts", "tc",
+                                              "interpret"))
+def _fused_z(acc, v, dm, l, bx0: float, bx1: float, si: float, ts: int, tc: int,
              interpret: bool = False):
     B, n, S, C = v.shape
-    spec = lambda rows: pl.BlockSpec((1, rows, ts, tc), lambda b, si, c: (b, 0, si, c),
+    spec = lambda rows: pl.BlockSpec((1, rows, ts, tc), lambda b, s_, c: (b, 0, s_, c),
                                      memory_space=pltpu.VMEM)
-    kern = functools.partial(_body_z, bx0=bx0, bx1=bx1)
+    kern = functools.partial(_body_z, bx0=bx0, bx1=bx1, si=si)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, n, S, C), v.dtype),
@@ -457,21 +467,22 @@ def _fused_z(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3,
             vmem_limit_bytes=_VMEM_LIMIT),
-        in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
+        in_specs=[spec(n), spec(n), spec(n + 1), spec(n)],
         out_specs=spec(n),
         scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), v.dtype)],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(acc, v, s, dm, l)
+    )(acc, v, dm, l)
 
 
-@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "ts", "tc", "interpret"))
-def _fused_y(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "si", "ts", "tc",
+                                              "interpret"))
+def _fused_y(acc, v, dm, l, bx0: float, bx1: float, si: float, ts: int, tc: int,
              interpret: bool = False):
     B, S, n, C = v.shape
-    spec = lambda rows: pl.BlockSpec((1, ts, rows, tc), lambda b, si, c: (b, si, 0, c),
+    spec = lambda rows: pl.BlockSpec((1, ts, rows, tc), lambda b, s_, c: (b, s_, 0, c),
                                      memory_space=pltpu.VMEM)
-    kern = functools.partial(_body_y, bx0=bx0, bx1=bx1)
+    kern = functools.partial(_body_y, bx0=bx0, bx1=bx1, si=si)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, S, n, C), v.dtype),
@@ -479,30 +490,30 @@ def _fused_y(acc, v, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3,
             vmem_limit_bytes=_VMEM_LIMIT),
-        in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
+        in_specs=[spec(n), spec(n), spec(n + 1), spec(n)],
         out_specs=spec(n),
         scratch_shapes=[
             pltpu.VMEM((n + 1, ts, tc), v.dtype),
             pltpu.VMEM((n, ts, tc), v.dtype),
-            pltpu.VMEM((n + 1, ts, tc), v.dtype),
             pltpu.VMEM((n + 1, ts, tc), v.dtype),
             pltpu.VMEM((n, ts, tc), v.dtype),
             pltpu.VMEM((n, ts, tc), v.dtype),
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(acc, v, s, dm, l)
+    )(acc, v, dm, l)
 
 
-@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "ts", "tc", "interpret"))
-def _fused_yT(acc, v, sT, dmT, lT, bx0: float, bx1: float, ts: int, tc: int,
-              interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "si", "ts", "tc",
+                                              "interpret"))
+def _fused_yT(acc, v, dmT, lT, bx0: float, bx1: float, si: float, ts: int,
+              tc: int, interpret: bool = False):
     B, S, n, C = v.shape
-    cell = pl.BlockSpec((1, ts, n, tc), lambda b, si, c: (b, si, 0, c),
+    cell = pl.BlockSpec((1, ts, n, tc), lambda b, s_, c: (b, s_, 0, c),
                         memory_space=pltpu.VMEM)
-    tsp = lambda rows: pl.BlockSpec((rows, ts, tc), lambda b, si, c: (0, si, c),
+    tsp = lambda rows: pl.BlockSpec((rows, ts, tc), lambda b, s_, c: (0, s_, c),
                                     memory_space=pltpu.VMEM)
-    kern = functools.partial(_body_yT, bx0=bx0, bx1=bx1)
+    kern = functools.partial(_body_yT, bx0=bx0, bx1=bx1, si=si)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, S, n, C), v.dtype),
@@ -510,7 +521,7 @@ def _fused_yT(acc, v, sT, dmT, lT, bx0: float, bx1: float, ts: int, tc: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3,
             vmem_limit_bytes=_VMEM_LIMIT),
-        in_specs=[cell, cell, tsp(n + 1), tsp(n + 1), tsp(n)],
+        in_specs=[cell, cell, tsp(n + 1), tsp(n)],
         out_specs=cell,
         scratch_shapes=[
             pltpu.VMEM((n + 1, ts, tc), v.dtype),
@@ -519,17 +530,18 @@ def _fused_yT(acc, v, sT, dmT, lT, bx0: float, bx1: float, ts: int, tc: int,
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(acc, v, sT, dmT, lT)
+    )(acc, v, dmT, lT)
 
 
-@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "tb", "interpret"))
-def _fused_xT(acc, v, sT, dmT, lT, bx0: float, bx1: float, tb: int,
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "si", "tb",
+                                              "interpret"))
+def _fused_xT(acc, v, dmT, lT, bx0: float, bx1: float, si: float, tb: int,
               interpret: bool = False):
     B, n = v.shape
     cell_spec = pl.BlockSpec((tb, n), lambda b: (b, 0), memory_space=pltpu.VMEM)
     tspec = lambda rows: pl.BlockSpec((rows, tb), lambda b: (0, b),
                                       memory_space=pltpu.VMEM)
-    kern = functools.partial(_body_xT, bx0=bx0, bx1=bx1)
+    kern = functools.partial(_body_xT, bx0=bx0, bx1=bx1, si=si)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, n), v.dtype),
@@ -537,7 +549,7 @@ def _fused_xT(acc, v, sT, dmT, lT, bx0: float, bx1: float, tb: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
-        in_specs=[cell_spec, cell_spec, tspec(n + 1), tspec(n + 1), tspec(n)],
+        in_specs=[cell_spec, cell_spec, tspec(n + 1), tspec(n)],
         out_specs=cell_spec,
         scratch_shapes=[
             pltpu.VMEM((n, tb), v.dtype),
@@ -545,17 +557,18 @@ def _fused_xT(acc, v, sT, dmT, lT, bx0: float, bx1: float, tb: int,
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(acc, v, sT, dmT, lT)
+    )(acc, v, dmT, lT)
 
 
-@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "tb", "interpret"))
-def _fused_xT_eq(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float, tb: int,
-                 interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "si", "tb",
+                                              "interpret"))
+def _fused_xT_eq(y, sdi, ce, dmT, lT, bx0: float, bx1: float, si: float,
+                 tb: int, interpret: bool = False):
     B, n = y.shape
     cell_spec = pl.BlockSpec((tb, n), lambda b: (b, 0), memory_space=pltpu.VMEM)
     tspec = lambda rows: pl.BlockSpec((rows, tb), lambda b: (0, b),
                                       memory_space=pltpu.VMEM)
-    kern = functools.partial(_body_xT_eq, bx0=bx0, bx1=bx1)
+    kern = functools.partial(_body_xT_eq, bx0=bx0, bx1=bx1, si=si)
     return pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((B, n), y.dtype),
@@ -565,23 +578,24 @@ def _fused_xT_eq(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float, tb: int,
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[cell_spec, cell_spec, cell_spec,
-                  tspec(n + 1), tspec(n + 1), tspec(n)],
+                  tspec(n + 1), tspec(n)],
         out_specs=(cell_spec, cell_spec),
         scratch_shapes=[
             pltpu.VMEM((n, tb), y.dtype),
             pltpu.VMEM((n + 1, tb), y.dtype),
         ],
         interpret=interpret,
-    )(y, sdi, ce, sT, dmT, lT)
+    )(y, sdi, ce, dmT, lT)
 
 
-@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "ts", "tc", "interpret"))
-def _fused_z_eq(acc, u, s, dm, l, sdi, bx0: float, bx1: float, ts: int, tc: int,
-                interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "si", "ts", "tc",
+                                              "interpret"))
+def _fused_z_eq(acc, u, dm, l, sdi, bx0: float, bx1: float, si: float, ts: int,
+                tc: int, interpret: bool = False):
     B, n, S, C = u.shape
-    spec = lambda rows: pl.BlockSpec((1, rows, ts, tc), lambda b, si, c: (b, 0, si, c),
+    spec = lambda rows: pl.BlockSpec((1, rows, ts, tc), lambda b, s_, c: (b, 0, s_, c),
                                      memory_space=pltpu.VMEM)
-    kern = functools.partial(_body_z_eq, bx0=bx0, bx1=bx1)
+    kern = functools.partial(_body_z_eq, bx0=bx0, bx1=bx1, si=si)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, n, S, C), u.dtype),
@@ -589,22 +603,23 @@ def _fused_z_eq(acc, u, s, dm, l, sdi, bx0: float, bx1: float, ts: int, tc: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3,
             vmem_limit_bytes=_VMEM_LIMIT),
-        in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n), spec(n)],
+        in_specs=[spec(n), spec(n), spec(n + 1), spec(n), spec(n)],
         out_specs=spec(n),
         scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), u.dtype)],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(acc, u, s, dm, l, sdi)
+    )(acc, u, dm, l, sdi)
 
 
-@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "tb", "interpret"))
-def _fused_xT_eq2(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float, tb: int,
-                  interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "si", "tb",
+                                              "interpret"))
+def _fused_xT_eq2(y, sdi, ce, dmT, lT, bx0: float, bx1: float, si: float,
+                  tb: int, interpret: bool = False):
     B, n = y.shape
     cell_spec = pl.BlockSpec((tb, n), lambda b: (b, 0), memory_space=pltpu.VMEM)
     tspec = lambda rows: pl.BlockSpec((rows, tb), lambda b: (0, b),
                                       memory_space=pltpu.VMEM)
-    kern = functools.partial(_body_xT_eq2, bx0=bx0, bx1=bx1)
+    kern = functools.partial(_body_xT_eq2, bx0=bx0, bx1=bx1, si=si)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, n), y.dtype),
@@ -613,25 +628,26 @@ def _fused_xT_eq2(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float, tb: int,
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
         in_specs=[cell_spec, cell_spec, cell_spec,
-                  tspec(n + 1), tspec(n + 1), tspec(n)],
+                  tspec(n + 1), tspec(n)],
         out_specs=cell_spec,
         scratch_shapes=[
             pltpu.VMEM((n, tb), y.dtype),
             pltpu.VMEM((n + 1, tb), y.dtype),
         ],
         interpret=interpret,
-    )(y, sdi, ce, sT, dmT, lT)
+    )(y, sdi, ce, dmT, lT)
 
 
-@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "ts", "tc", "interpret"))
-def _fused_yT_eq2(acc, y, sdi, sT, dmT, lT, bx0: float, bx1: float, ts: int,
-                  tc: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "si", "ts", "tc",
+                                              "interpret"))
+def _fused_yT_eq2(acc, y, sdi, dmT, lT, bx0: float, bx1: float, si: float,
+                  ts: int, tc: int, interpret: bool = False):
     B, S, n, C = y.shape
-    cell = pl.BlockSpec((1, ts, n, tc), lambda b, si, c: (b, si, 0, c),
+    cell = pl.BlockSpec((1, ts, n, tc), lambda b, s_, c: (b, s_, 0, c),
                         memory_space=pltpu.VMEM)
-    tsp = lambda rows: pl.BlockSpec((rows, ts, tc), lambda b, si, c: (0, si, c),
+    tsp = lambda rows: pl.BlockSpec((rows, ts, tc), lambda b, s_, c: (0, s_, c),
                                     memory_space=pltpu.VMEM)
-    kern = functools.partial(_body_yT_eq2, bx0=bx0, bx1=bx1)
+    kern = functools.partial(_body_yT_eq2, bx0=bx0, bx1=bx1, si=si)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, S, n, C), y.dtype),
@@ -639,7 +655,7 @@ def _fused_yT_eq2(acc, y, sdi, sT, dmT, lT, bx0: float, bx1: float, ts: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3,
             vmem_limit_bytes=_VMEM_LIMIT),
-        in_specs=[cell, cell, cell, tsp(n + 1), tsp(n + 1), tsp(n)],
+        in_specs=[cell, cell, cell, tsp(n + 1), tsp(n)],
         out_specs=cell,
         scratch_shapes=[
             pltpu.VMEM((n + 1, ts, tc), y.dtype),
@@ -648,16 +664,17 @@ def _fused_yT_eq2(acc, y, sdi, sT, dmT, lT, bx0: float, bx1: float, ts: int,
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(acc, y, sdi, sT, dmT, lT)
+    )(acc, y, sdi, dmT, lT)
 
 
-@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "ts", "tc", "interpret"))
-def _fused_z_eq2(acc, y, sdi, s, dm, l, bx0: float, bx1: float, ts: int, tc: int,
-                 interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "si", "ts", "tc",
+                                              "interpret"))
+def _fused_z_eq2(acc, y, sdi, dm, l, bx0: float, bx1: float, si: float,
+                 ts: int, tc: int, interpret: bool = False):
     B, n, S, C = y.shape
-    spec = lambda rows: pl.BlockSpec((1, rows, ts, tc), lambda b, si, c: (b, 0, si, c),
+    spec = lambda rows: pl.BlockSpec((1, rows, ts, tc), lambda b, s_, c: (b, 0, s_, c),
                                      memory_space=pltpu.VMEM)
-    kern = functools.partial(_body_z_eq2, bx0=bx0, bx1=bx1)
+    kern = functools.partial(_body_z_eq2, bx0=bx0, bx1=bx1, si=si)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, n, S, C), y.dtype),
@@ -665,21 +682,22 @@ def _fused_z_eq2(acc, y, sdi, s, dm, l, bx0: float, bx1: float, ts: int, tc: int
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3,
             vmem_limit_bytes=_VMEM_LIMIT),
-        in_specs=[spec(n), spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
+        in_specs=[spec(n), spec(n), spec(n), spec(n + 1), spec(n)],
         out_specs=spec(n),
         scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), y.dtype)],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(acc, y, sdi, s, dm, l)
+    )(acc, y, sdi, dm, l)
 
 
-@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "tb", "interpret"))
-def _fused_x(acc, v, s, dm, l, bx0: float, bx1: float, tb: int,
+@functools.partial(jax.jit, static_argnames=("bx0", "bx1", "si", "tb",
+                                              "interpret"))
+def _fused_x(acc, v, dm, l, bx0: float, bx1: float, si: float, tb: int,
              interpret: bool = False):
     B, n = v.shape
     spec = lambda cols: pl.BlockSpec((tb, cols), lambda b: (b, 0),
                                      memory_space=pltpu.VMEM)
-    kern = functools.partial(_body_x, bx0=bx0, bx1=bx1)
+    kern = functools.partial(_body_x, bx0=bx0, bx1=bx1, si=si)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, n), v.dtype),
@@ -687,7 +705,7 @@ def _fused_x(acc, v, s, dm, l, bx0: float, bx1: float, tb: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
-        in_specs=[spec(n), spec(n), spec(n + 1), spec(n + 1), spec(n)],
+        in_specs=[spec(n), spec(n), spec(n + 1), spec(n)],
         out_specs=spec(n),
         scratch_shapes=[
             pltpu.VMEM((n, tb), v.dtype),
@@ -697,17 +715,18 @@ def _fused_x(acc, v, s, dm, l, bx0: float, bx1: float, tb: int,
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(acc, v, s, dm, l)
+    )(acc, v, dm, l)
 
 
-def fused_schur_x_pre(acc, v, sT, dmT, lT, bx0: float, bx1: float,
+def fused_schur_x_pre(acc, v, dmT, lT, bx0: float, bx1: float, si: float,
                       interpret: bool = False):
     """acc + B_x A_x^{-1} B_x^T v with PRE-TRANSPOSED solve-constant operands.
 
     v, acc: (..., nz, ny, nx) with every leading (batch/mode) dim of size 1;
-    sT, dmT: (nx+1, nz*ny); lT: (nx, nz*ny) — staged once at context-build time
-    (ops/context.py).  Returns None if the kernel does not fit (caller falls back
-    to fused_schur_dir / the unfused ops)."""
+    dmT: (nx+1, nz*ny); lT: (nx, nz*ny) — staged once at context-build time
+    (ops/context.py); si = 1/m_t (static; see module docstring).  Returns None
+    if the kernel does not fit (caller falls back to fused_schur_dir / the
+    unfused ops)."""
     if not interpret and v.dtype not in (jnp.float32, jnp.bfloat16):
         return None
     if v.ndim < 3:
@@ -717,23 +736,23 @@ def fused_schur_x_pre(acc, v, sT, dmT, lT, bx0: float, bx1: float,
             return None  # batched layouts keep the broadcast kernel
     n = v.shape[-1]
     B = v.size // n
-    if n < 4 or B < 512 or sT.shape != (n + 1, B):
+    if n < 4 or B < 512 or dmT.shape != (n + 1, B):
         return None
     t = _tiles(v.shape, v.dtype, 2)
     if t is None:
         return None
-    out = _fused_xT(acc.reshape(B, n), v.reshape(B, n), sT, dmT, lT,
-                    bx0, bx1, tb=t[0], interpret=interpret)
+    out = _fused_xT(acc.reshape(B, n), v.reshape(B, n), dmT, lT,
+                    bx0, bx1, si, tb=t[0], interpret=interpret)
     return out.reshape(v.shape)
 
 
-def fused_schur_y_pre(acc, v, sT, dmT, lT, bx0: float, bx1: float,
+def fused_schur_y_pre(acc, v, dmT, lT, bx0: float, bx1: float, si: float,
                       interpret: bool = False):
     """acc + B_y A_y^{-1} B_y^T v with PRE-STAGED solve-axis-major operands.
 
-    v, acc: (..., nz, ny, nx) with every leading dim of size 1; sT, dmT:
-    (ny+1, nz, nx); lT: (ny, nz, nx) — staged at context-build time.  Returns
-    None if the kernel does not fit (caller falls back)."""
+    v, acc: (..., nz, ny, nx) with every leading dim of size 1; dmT:
+    (ny+1, nz, nx); lT: (ny, nz, nx) — staged at context-build time; si = 1/m_t
+    (static).  Returns None if the kernel does not fit (caller falls back)."""
     if not interpret and v.dtype not in (jnp.float32, jnp.bfloat16):
         return None
     if v.ndim < 3 or v.shape[-1] < 64:
@@ -742,17 +761,18 @@ def fused_schur_y_pre(acc, v, sT, dmT, lT, bx0: float, bx1: float,
         if s != 1:
             return None
     s0, n, s2 = v.shape[-3], v.shape[-2], v.shape[-1]
-    if n < 4 or s0 < 4 or s0 * s2 < 512 or sT.shape != (n + 1, s0, s2):
+    if n < 4 or s0 < 4 or s0 * s2 < 512 or dmT.shape != (n + 1, s0, s2):
         return None
-    # ~15 footprints: 6 double-buffered cell blocks + 3 staged operand blocks
-    # (not double-buffered in effect but budgeted) + 3 scratches
+    # ~15 footprints: 6 double-buffered cell blocks + staged operand blocks
+    # (not double-buffered in effect but budgeted) + 3 scratches — kept at the
+    # pre-scalar-si count (conservative: the removed s operand only adds slack)
     t = _tiles(v.shape[-3:], v.dtype, 1, fp=15)
     if t is None:
         return None
     ts, tc = t
     B = v.size // (s0 * n * s2)
     out = _fused_yT(acc.reshape(B, s0, n, s2), v.reshape(B, s0, n, s2),
-                    sT, dmT, lT, bx0, bx1, ts=ts, tc=tc, interpret=interpret)
+                    dmT, lT, bx0, bx1, si, ts=ts, tc=tc, interpret=interpret)
     return out.reshape(v.shape)
 
 
@@ -803,7 +823,7 @@ def eqfold_fits(shape, dtype, interpret: bool = False, mode: str = "1") -> bool:
     return _eq_z_ok(shape, dtype, interpret, fp=fpz)
 
 
-def fused_schur_x_eq(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float,
+def fused_schur_x_eq(y, sdi, ce, dmT, lT, bx0: float, bx1: float, si: float,
                      interpret: bool = False):
     """(ce*y + B_x A_x^{-1} B_x^T (sdi*y),  sdi*y) with pre-transposed
     solve-constant operands — the first stage of the equilibration-folded
@@ -813,15 +833,15 @@ def fused_schur_x_eq(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float,
         return None
     n = y.shape[-1]
     B = y.size // n
-    if sT.shape != (n + 1, B):
+    if dmT.shape != (n + 1, B):
         return None
     t = _tiles(y.shape, y.dtype, 2, fp=_EQ_FP["1"][0])
     acc, u = _fused_xT_eq(y.reshape(B, n), sdi.reshape(B, n), ce.reshape(B, n),
-                          sT, dmT, lT, bx0, bx1, tb=t[0], interpret=interpret)
+                          dmT, lT, bx0, bx1, si, tb=t[0], interpret=interpret)
     return acc.reshape(y.shape), u.reshape(y.shape)
 
 
-def fused_schur_z_eq(acc, u, scale, dinvm, l, sdi, bx0: float, bx1: float,
+def fused_schur_z_eq(acc, u, dinvm, l, sdi, bx0: float, bx1: float, si: float,
                      interpret: bool = False):
     """sdi * (acc + B_z A_z^{-1} B_z^T u) — the last stage of the
     equilibration-folded matvec.  Returns None if the kernel does not engage."""
@@ -830,7 +850,6 @@ def fused_schur_z_eq(acc, u, scale, dinvm, l, sdi, bx0: float, bx1: float,
     shape = u.shape
     n = shape[-3]
     fshape = shape[:-3] + (n + 1,) + shape[-2:]
-    scale_b = jnp.broadcast_to(scale, fshape)
     dinvm_b = jnp.broadcast_to(dinvm, fshape)
     l_b = jnp.broadcast_to(l, shape)
     sdi_b = jnp.broadcast_to(sdi, shape)
@@ -838,15 +857,14 @@ def fused_schur_z_eq(acc, u, scale, dinvm, l, sdi, bx0: float, bx1: float,
     B = u.size // (s0 * s1 * s2)
     ts, tc = _tiles(shape[-3:], u.dtype, 0, fp=_EQ_FP["1"][2])
     out = _fused_z_eq(acc.reshape(B, s0, s1, s2), u.reshape(B, s0, s1, s2),
-                      scale_b.reshape(B, s0 + 1, s1, s2),
                       dinvm_b.reshape(B, s0 + 1, s1, s2),
                       l_b.reshape(B, s0, s1, s2),
                       sdi_b.reshape(B, s0, s1, s2),
-                      bx0, bx1, ts=ts, tc=tc, interpret=interpret)
+                      bx0, bx1, si, ts=ts, tc=tc, interpret=interpret)
     return out.reshape(shape)
 
 
-def fused_schur_x_eq2(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float,
+def fused_schur_x_eq2(y, sdi, ce, dmT, lT, bx0: float, bx1: float, si: float,
                       interpret: bool = False):
     """ce*y + B_x A_x^{-1} B_x^T (sdi*y), recompute-u variant (u formed in VMEM,
     single output).  Returns None if the kernel does not engage."""
@@ -854,15 +872,15 @@ def fused_schur_x_eq2(y, sdi, ce, sT, dmT, lT, bx0: float, bx1: float,
         return None
     n = y.shape[-1]
     B = y.size // n
-    if sT.shape != (n + 1, B):
+    if dmT.shape != (n + 1, B):
         return None
     t = _tiles(y.shape, y.dtype, 2, fp=_EQ_FP["2"][0])
     out = _fused_xT_eq2(y.reshape(B, n), sdi.reshape(B, n), ce.reshape(B, n),
-                        sT, dmT, lT, bx0, bx1, tb=t[0], interpret=interpret)
+                        dmT, lT, bx0, bx1, si, tb=t[0], interpret=interpret)
     return out.reshape(y.shape)
 
 
-def fused_schur_y_eq2(acc, y, sdi, sT, dmT, lT, bx0: float, bx1: float,
+def fused_schur_y_eq2(acc, y, sdi, dmT, lT, bx0: float, bx1: float, si: float,
                       interpret: bool = False):
     """acc + B_y A_y^{-1} B_y^T (sdi*y), recompute-u variant with pre-staged
     solve-axis-major operands.  Returns None if the kernel does not engage."""
@@ -871,19 +889,19 @@ def fused_schur_y_eq2(acc, y, sdi, sT, dmT, lT, bx0: float, bx1: float,
     if y.ndim < 3 or y.shape[-1] < 64 or any(s != 1 for s in y.shape[:-3]):
         return None
     s0, n, s2 = y.shape[-3], y.shape[-2], y.shape[-1]
-    if n < 4 or s0 < 4 or s0 * s2 < 512 or sT.shape != (n + 1, s0, s2):
+    if n < 4 or s0 < 4 or s0 * s2 < 512 or dmT.shape != (n + 1, s0, s2):
         return None
     t = _tiles(y.shape[-3:], y.dtype, 1, fp=_EQ_FP["2"][1])
     if t is None:
         return None
     B = y.size // (s0 * n * s2)
     out = _fused_yT_eq2(acc.reshape(B, s0, n, s2), y.reshape(B, s0, n, s2),
-                        sdi.reshape(B, s0, n, s2), sT, dmT, lT,
-                        bx0, bx1, ts=t[0], tc=t[1], interpret=interpret)
+                        sdi.reshape(B, s0, n, s2), dmT, lT,
+                        bx0, bx1, si, ts=t[0], tc=t[1], interpret=interpret)
     return out.reshape(y.shape)
 
 
-def fused_schur_z_eq2(acc, y, sdi, scale, dinvm, l, bx0: float, bx1: float,
+def fused_schur_z_eq2(acc, y, sdi, dinvm, l, bx0: float, bx1: float, si: float,
                       interpret: bool = False):
     """sdi * (acc + B_z A_z^{-1} B_z^T (sdi*y)) — recompute-u + post-scale fold.
     Returns None if the kernel does not engage."""
@@ -892,7 +910,6 @@ def fused_schur_z_eq2(acc, y, sdi, scale, dinvm, l, bx0: float, bx1: float,
     shape = y.shape
     n = shape[-3]
     fshape = shape[:-3] + (n + 1,) + shape[-2:]
-    scale_b = jnp.broadcast_to(scale, fshape)
     dinvm_b = jnp.broadcast_to(dinvm, fshape)
     l_b = jnp.broadcast_to(l, shape)
     sdi_b = jnp.broadcast_to(sdi, shape)
@@ -901,20 +918,20 @@ def fused_schur_z_eq2(acc, y, sdi, scale, dinvm, l, bx0: float, bx1: float,
     ts, tc = _tiles(shape[-3:], y.dtype, 0, fp=_EQ_FP["2"][2])
     out = _fused_z_eq2(acc.reshape(B, s0, s1, s2), y.reshape(B, s0, s1, s2),
                        sdi_b.reshape(B, s0, s1, s2),
-                       scale_b.reshape(B, s0 + 1, s1, s2),
                        dinvm_b.reshape(B, s0 + 1, s1, s2),
                        l_b.reshape(B, s0, s1, s2),
-                       bx0, bx1, ts=ts, tc=tc, interpret=interpret)
+                       bx0, bx1, si, ts=ts, tc=tc, interpret=interpret)
     return out.reshape(shape)
 
 
-def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
-                    interpret: bool = False):
+def fused_schur_dir(acc, v, dinvm, l, axis: int, bx0: float, bx1: float,
+                    si: float, interpret: bool = False):
     """acc + B_d A_d^{-1} B_d^T v for an RT0 direction, or None if no kernel fits.
 
-    acc, v: cell grids (..., spatial); scale = mask/m_t, dinvm = dinv*mask, l:
-    face-shaped along `axis` (n+1 / n+1 / n entries).  All spatial dims must be
-    the last three; `axis` negative in [-3, -1].
+    acc, v: cell grids (..., spatial); dinvm = dinv*mask, l: face-shaped along
+    `axis` (n+1 / n entries); si = 1/m_t (static rhs scale — see the module
+    docstring for why the mask component of the old scale plane is redundant).
+    All spatial dims must be the last three; `axis` negative in [-3, -1].
     """
     if not fused_fits(v.shape, v.dtype, axis, interpret):
         return None
@@ -925,7 +942,6 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
 
     fshape = shape[:axis] + (n + 1,) + shape[axis + 1:]
     lshape = shape[:axis] + (n,) + shape[axis + 1:]
-    scale_b = jnp.broadcast_to(scale, fshape)
     dinvm_b = jnp.broadcast_to(dinvm, fshape)
     l_b = jnp.broadcast_to(l, lshape)
 
@@ -934,8 +950,9 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
     if rel == 2:
         B = v.size // n
         out = _fused_x(acc.reshape(B, n), v.reshape(B, n),
-                       scale_b.reshape(B, n + 1), dinvm_b.reshape(B, n + 1),
-                       l_b.reshape(B, n), bx0, bx1, tb=tiles[0], interpret=interpret)
+                       dinvm_b.reshape(B, n + 1),
+                       l_b.reshape(B, n), bx0, bx1, si, tb=tiles[0],
+                       interpret=interpret)
         return out.reshape(shape)
 
     if rel == 1:
@@ -943,9 +960,8 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
         B = v.size // (s0 * s1 * s2)
         ts, tc = tiles
         out = _fused_y(acc.reshape(B, s0, s1, s2), v.reshape(B, s0, s1, s2),
-                       scale_b.reshape(B, s0, s1 + 1, s2),
                        dinvm_b.reshape(B, s0, s1 + 1, s2),
-                       l_b.reshape(B, s0, s1, s2), bx0, bx1, ts=ts, tc=tc,
+                       l_b.reshape(B, s0, s1, s2), bx0, bx1, si, ts=ts, tc=tc,
                        interpret=interpret)
         return out.reshape(shape)
 
@@ -953,8 +969,7 @@ def fused_schur_dir(acc, v, scale, dinvm, l, axis: int, bx0: float, bx1: float,
     B = v.size // (s0 * s1 * s2)
     ts, tc = tiles
     out = _fused_z(acc.reshape(B, s0, s1, s2), v.reshape(B, s0, s1, s2),
-                   scale_b.reshape(B, s0 + 1, s1, s2),
                    dinvm_b.reshape(B, s0 + 1, s1, s2),
-                   l_b.reshape(B, s0, s1, s2), bx0, bx1, ts=ts, tc=tc,
+                   l_b.reshape(B, s0, s1, s2), bx0, bx1, si, ts=ts, tc=tc,
                    interpret=interpret)
     return out.reshape(shape)

@@ -7,10 +7,24 @@ face-rhs einsum -> concat -> scale -> Pallas Thomas -> mask -> face-out einsums
 kernels run the whole per-(direction, transverse-mode) chain in VMEM:
 
     rf_f   = sum_l bxs[1,l] v[l,f-1] + bxs[0,l] v[l,f]     (bxs = BXc/m_t rows)
-    z_0    = rf_0 s_0;  z_f = rf_f s_f - l_{f-1} z_{f-1}       [s = mask]
+    z_0    = rf_0;      z_f = rf_f - l_{f-1} z_{f-1}
     F_n    = z_n dm_n;  F_f = z_f dm_f - l_f F_{f+1}           [dm = dinv*mask]
     out[l,e] = acc[l,e] + bxo[0,l] F_e + bxo[1,l] F_{e+1}
                + (sum_l' q[l,l'] v[l',e]) / alpha_e
+
+The rhs used to carry the mask as a streamed face plane (z_f = rf_f s_f).  It
+is redundant (round 3, same proof as the RT0 kernels in pallas_fused.py): the
+mask pins only boundary faces, and context.py zeroes the adjacent off-diagonal
+BEFORE the LDL^T factorization whenever it pins a face, so a pinned face f has
+l = 0 on its interior side and dm_f = 0 — every path a wrong z_f could
+propagate through is multiplied by an exact 0 and the valid outputs are
+BITWISE identical.  Dropping the plane removes one of four streamed face
+blocks (traffic) and one double-buffered (n+1)-row block from the VMEM
+footprint — which is what lets the y kernel ENGAGE at n = 152/144 (K1 = 2),
+shapes the four-block kernel could not compile (see _VMEM_BUDGET_HO).  In the
+x kernel's dead pad lanes z now carries garbage instead of 0; it stays
+lanewise (the recurrence never crosses lanes), F in those lanes is still
+z*0 - 0*F = 0-or-NaN, and the unpack slices only real lanes — nothing escapes.
 
 per transverse mode t, where l runs over the K1 = m+1 longitudinal flux modes
 mapped to t.  The (t, f, l) coefficient tables bxs/bxo and the (t, l, l') Qbub
@@ -50,23 +64,30 @@ from .pallas_tridiag import _pad_up, _round_down
 # mesh has ny = 114 -> the y kernel silently declined).  VMEM is ~16 MiB/core;
 # tell Mosaic explicitly via vmem_limit_bytes.
 #
-# The y/z budget is CALIBRATED on hardware (round 3): the gates use the exact
-# Mosaic footprint model (_rows_y/_rows_z below; streamed blocks are
-# double-buffered, scratches are not, and a block whose SUBLANE dim is the
-# solve axis pads it to 8) — the model reproduces Mosaic's own scoped-vmem
-# report to the byte (13.80 MiB for the y kernel at K1=3, n=114).  A 13-shape
-# compile sweep on the v5e bracketed the usable stack capacity: every shape
-# with footprint <= 13,094,912 B (z @ K1=2, n=152) compiles and runs; every
-# shape >= 13,586,432 B (y @ K1=2, n=144) dies at compile with a vmem stack
-# OOM that kills the whole solve.  Budget = the highest measured-good
-# footprint.  (The old plane-count heuristic under-counted and APPROVED the
-# y kernel at K1=3, n=114 — crashing the 26.7M-DOF RT2 solve instead of
-# declining to the unfused path.)
-_VMEM_BUDGET_HO = 13_094_912
-_VMEM_LIMIT_HO = 13 * 2**20
+# Round-3 calibration history: the 4-face-block kernels were gated by a model
+# pinned to Mosaic's scoped-vmem report (13.80 MiB at y K1=3 n=114) against a
+# 13 MiB vmem limit.  Re-probing for the 3-face-block kernels showed TWO
+# things (see the round-3b notes in CLAUDE.md):
+#   1. the model UNDER-predicts Mosaic's actual allocation by a shape-
+#      dependent ~0.45-0.65 MiB at ~13 MiB scale (measured: y K1=2 n=152
+#      model 12.48 MiB vs Mosaic 13.05 MiB) — it is a lower bound, not exact;
+#   2. the old "usable stack capacity" was just our own 13 MiB limit: Mosaic
+#      accepts vmem_limit_bytes up to at least 15.5 MiB on the v5e and a
+#      15.7 MiB-allocation kernel compiles AND executes correctly.
+# Gate design: approve shapes whose MODEL footprint fits a 13.0 MiB budget,
+# and hand Mosaic a 15.0 MiB limit — the 2 MiB budget->limit gap absorbs the
+# model's measured under-prediction with >1.3 MiB to spare.  Hardware-
+# validated approved-and-running boundary shapes: y K1=2 n=152 (Mosaic
+# 13.05 MiB) and y K1=3 n=114 (runs at a 13.5 MiB limit) — both formerly
+# crashing/declining.  A gate that over-approves still kills the whole solve
+# at Mosaic compile time, so both directions stay regression-tested at the
+# benchmark shapes (tests/test_pallas_fused_ho.py).
+_VMEM_BUDGET_HO = 13 * 2**20
+_VMEM_LIMIT_HO = 15 * 2**20
 # The x kernel's per-slab model (staged faces scale with the lane dim, not the
 # sublane dim) is validated at 12 MiB only (tz=8 @ RT1 988k, tz=6 @ RT2 988k,
-# both measured working); it keeps the proven budget.
+# both measured working); it keeps the proven budget (the raised limit gives
+# its own model error the same safety margin).
 _VMEM_BUDGET_HO_X = 12 * 2**20
 
 __all__ = ["fused_ho_dir", "ho_coeff_tables", "ho_fits"]
@@ -101,11 +122,11 @@ def ho_coeff_tables(fes, di):
     return bxs, bxo, qt
 
 
-def _body_z_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
+def _body_z_ho(acc_ref, v_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
                q_ref, out_ref, zf, *, K1):
     """z-direction higher-order body, one transverse mode per instance.
 
-    Blocks: acc/v/out (K1, 1, 1, n, ts, tc); s/dm (n+1, ts, tc);
+    Blocks: acc/v/out (K1, 1, 1, n, ts, tc); dm (n+1, ts, tc);
     l/a (n, ts, tc); bxs/bxo (1, 2, K1) SMEM; q (1, K1, K1) SMEM;
     scratch zf (n+1, ts, tc).  Recurrence over the solve axis (dim 3)."""
     n = v_ref.shape[3]
@@ -113,7 +134,7 @@ def _body_z_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
     rf0 = bxs_ref[0, 0, 0] * v_ref[0, 0, 0, 0]
     for li in range(1, K1):
         rf0 += bxs_ref[0, 0, li] * v_ref[li, 0, 0, 0]
-    zf[0] = rf0 * s_ref[0]
+    zf[0] = rf0
 
     def fwd(f, z_prev):
         fm = f - 1
@@ -125,7 +146,7 @@ def _body_z_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
         for li in range(1, K1):
             rb += bxs_ref[0, 0, li] * v_ref[li, 0, 0, fc]
         rf = rf + jnp.where(f < n, 1.0, 0.0) * rb
-        z = rf * s_ref[f] - l_ref[f - 1] * z_prev
+        z = rf - l_ref[f - 1] * z_prev
         zf[f] = z
         return z
 
@@ -151,11 +172,11 @@ def _body_z_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
     jax.lax.fori_loop(0, n, bwd, f_next)
 
 
-def _body_y_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
+def _body_y_ho(acc_ref, v_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
                q_ref, out_ref, zf, vt, *, K1):
     """y-direction higher-order body (solve axis middle), one transverse mode
     per instance.  Blocks: acc/v/out (1, K1, 1, ts, n, tc); staged
-    s/dm (n+1, ts, tc); l/a (n, ts, tc); coefficient tables in SMEM.
+    dm (n+1, ts, tc); l/a (n, ts, tc); coefficient tables in SMEM.
     The K1 mode planes are relayouted to solve-axis-major scratches so each
     recurrence step reads whole (ts, tc) tiles (see _body_yT rationale).
     The backward pass overwrites vt in place once vt[:, e] has fed its last
@@ -167,7 +188,7 @@ def _body_y_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
     rf0 = bxs_ref[0, 0, 0] * vt[0, 0]
     for li in range(1, K1):
         rf0 += bxs_ref[0, 0, li] * vt[li, 0]
-    zf[0] = rf0 * s_ref[0]
+    zf[0] = rf0
 
     def fwd(f, z_prev):
         rf = bxs_ref[0, 1, 0] * vt[0, f - 1]
@@ -178,7 +199,7 @@ def _body_y_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
         for li in range(1, K1):
             rb += bxs_ref[0, 0, li] * vt[li, fc]
         rf = rf + jnp.where(f < n, 1.0, 0.0) * rb
-        z = rf * s_ref[f] - l_ref[f - 1] * z_prev
+        z = rf - l_ref[f - 1] * z_prev
         zf[f] = z
         return z
 
@@ -207,14 +228,14 @@ def _body_y_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
         out_ref[0, li, 0] = acc_ref[0, li, 0] + jnp.swapaxes(vt[li], 0, 1)
 
 
-def _body_x_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
+def _body_x_ho(acc_ref, v_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
                q_ref, out_ref, vt, zf, *, K1, ny, wy):
     """x-direction higher-order body (solve axis minor): wide transposed form
     over a z-slab, operating on the NATURAL 6D flux layout — no HBM (nz, ny)
     merge (a physical copy whenever ny % 8 != 0; it was ~10% of RT1 device
     time around the old flat-B kernel).
 
-    Blocks: acc/v/out (1, 1, K1, tz, ny, n); staged s/dm (n+1, tz*wy) and
+    Blocks: acc/v/out (1, 1, K1, tz, ny, n); staged dm (n+1, tz*wy) and
     l/a (n, tz*wy) in the lane-packed per-z layout of ops/context.py (wy = ny
     padded to a lane tile; dead lanes 0, alpha 1).  Each of the K1 x tz mode
     planes is transposed into the (n, tz*wy) vt scratch at its z-slice's
@@ -231,7 +252,7 @@ def _body_x_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
     rf0 = bxs_ref[0, 0, 0] * vt[0, 0]
     for li in range(1, K1):
         rf0 += bxs_ref[0, 0, li] * vt[li, 0]
-    zf[0] = rf0 * s_ref[0]
+    zf[0] = rf0
 
     def fwd(f, z_prev):
         rf = bxs_ref[0, 1, 0] * vt[0, f - 1]
@@ -242,7 +263,7 @@ def _body_x_ho(acc_ref, v_ref, s_ref, dm_ref, l_ref, a_ref, bxs_ref, bxo_ref,
         for li in range(1, K1):
             rb += bxs_ref[0, 0, li] * vt[li, fc]
         rf = rf + jnp.where(f < n, 1.0, 0.0) * rb
-        z = rf * s_ref[f] - l_ref[f - 1] * z_prev
+        z = rf - l_ref[f - 1] * z_prev
         zf[f] = z
         return z
 
@@ -295,21 +316,24 @@ def ho_fits(axis: int, lshape, dtype, K1: int, interpret: bool = False) -> bool:
 def _rows_z(n: int, K1: int) -> int:
     """Exact Mosaic VMEM footprint of the z HO kernel per (ts, tc) tile slot,
     in units of (ts, tc) element rows: acc/v/out cell blocks hold K1*n rows
-    each and are double-buffered (6*K1*n), the 4 face blocks hold
-    2*(n+1) + 2*n rows and are double-buffered too, and the zf scratch holds
+    each and are double-buffered (6*K1*n), the 3 face blocks (dm/l/alpha) hold
+    (n+1) + 2*n rows and are double-buffered too, and the zf scratch holds
     n+1 (single-buffered).  The solve axis is a LEADING block dim here — no
     sublane padding.  Footprint bytes = rows * ts * tc * itemsize."""
-    return 6 * K1 * n + 2 * (2 * (n + 1) + 2 * n) + (n + 1)
+    return 6 * K1 * n + 2 * ((n + 1) + 2 * n) + (n + 1)
 
 
 def _rows_y(n: int, K1: int) -> int:
-    """Exact Mosaic VMEM footprint of the y HO kernel, in (ts, tc) rows.  The
+    """Model VMEM footprint of the y HO kernel, in (ts, tc) rows.  The
     cell blocks put the solve axis in the SUBLANE position -> n pads to 8;
-    the vt scratch keeps n leading (no pad).  Verified to-the-byte against
-    Mosaic's scoped-vmem report: K1=3, n=114 -> 3533 rows = 13.80 MiB (the
-    measured number in the compile OOM)."""
+    the vt scratch keeps n leading (no pad).  The four-face-block model
+    matched Mosaic's scoped-vmem report to the byte at K1=3 n=114 (3533 rows
+    = 13.80 MiB); for the 3-face-block kernel Mosaic allocates a measured
+    ~0.45-0.65 MiB MORE than this model at ~13 MiB scale (shape-dependent
+    overhead the row accounting does not see), which the budget->limit gap
+    absorbs — see the _VMEM_BUDGET_HO note."""
     n8 = _pad_up(n, 8)
-    return 6 * K1 * n8 + 2 * (2 * (n + 1) + 2 * n) + (n + 1) + K1 * n
+    return 6 * K1 * n8 + 2 * ((n + 1) + 2 * n) + (n + 1) + K1 * n
 
 
 def _tiles_ho(n: int, s12, dtype, K1: int):
@@ -330,9 +354,9 @@ def _tiles_ho(n: int, s12, dtype, K1: int):
 
 def _tiles_ho_y(n: int, s02, dtype, K1: int):
     """(ts, tc) for the y-direction HO kernel, or None when even the minimum
-    (8, 128) tile exceeds the calibrated VMEM budget (see _rows_y; the old
-    plane-count heuristic approved K1=3 n=114 and K1=2 n=152, both of which
-    die at Mosaic compile with a vmem stack OOM on the v5e)."""
+    (8, 128) tile exceeds the VMEM budget (see _rows_y and the budget/limit
+    margin design at _VMEM_BUDGET_HO; a round-3 plane-count heuristic once
+    over-approved here and the Mosaic compile OOM killed the whole solve)."""
     itemsize = jnp.dtype(dtype).itemsize
     rows = _rows_y(n, K1)
     tc = _round_down(min(256, _VMEM_BUDGET_HO // (rows * 8 * itemsize)), 128)
@@ -348,24 +372,24 @@ def _tiles_ho_y(n: int, s02, dtype, K1: int):
 
 def _tz_ho_x(n: int, nz: int, ny: int, dtype, K1: int):
     """z-slab tile for the x-direction HO kernel, or None.  Footprint per unit
-    of tz: 3*K1 double-buffered cell planes (ny, n), 4 double-buffered staged
+    of tz: 3*K1 double-buffered cell planes (ny, n), 3 double-buffered staged
     face panels (rows, wy), and the vt/zf scratches at slab width wy."""
     itemsize = jnp.dtype(dtype).itemsize
     wy = _pad_up(ny, 128)
     nyp = _pad_up(ny, 8)
     npd = _pad_up(n, 128)
     rows = _pad_up(n + 1, 8)
-    per_tz = itemsize * (6 * K1 * nyp * npd + 8 * rows * wy
+    per_tz = itemsize * (6 * K1 * nyp * npd + 6 * rows * wy
                          + K1 * _pad_up(n, 8) * wy + rows * wy)
     tz = min(8, int(_VMEM_BUDGET_HO_X // per_tz), nz)
     return tz if tz >= 1 else None
 
 
 @functools.partial(jax.jit, static_argnames=("K1", "ts", "tc", "interpret"))
-def _fused_y_ho(acc, v, sT, dmT, lT, aT, bxs, bxo, qt, K1: int, ts: int,
+def _fused_y_ho(acc, v, dmT, lT, aT, bxs, bxo, qt, K1: int, ts: int,
                 tc: int, interpret: bool = False):
     # v/acc: (K1[tz], K1[l], K1[tx], nz, n, nx); staged ops solve-axis-major
-    # (n+1 / n+1 / n / n, nz, nx); bxs/bxo (T, 2, K1); qt (T, K1, K1)
+    # (n+1 / n / n, nz, nx); bxs/bxo (T, 2, K1); qt (T, K1, K1)
     G0, _, G2, S, n, C = v.shape
     cell = pl.BlockSpec((1, K1, 1, ts, n, tc),
                         lambda i0, i2, si, ci: (i0, 0, i2, si, 0, ci),
@@ -384,7 +408,7 @@ def _fused_y_ho(acc, v, sT, dmT, lT, aT, bxs, bxo, qt, K1: int, ts: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 4,
             vmem_limit_bytes=_VMEM_LIMIT_HO),
-        in_specs=[cell, cell, face(n + 1), face(n + 1), face(n), face(n),
+        in_specs=[cell, cell, face(n + 1), face(n), face(n),
                   coef(2, K1), coef(2, K1), coef(K1, K1)],
         out_specs=cell,
         scratch_shapes=[
@@ -393,12 +417,12 @@ def _fused_y_ho(acc, v, sT, dmT, lT, aT, bxs, bxo, qt, K1: int, ts: int,
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(acc, v, sT, dmT, lT, aT, bxs, bxo, qt)
+    )(acc, v, dmT, lT, aT, bxs, bxo, qt)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("K1", "tz", "wy", "interpret"))
-def _fused_x_ho(acc, v, sT, dmT, lT, aT, bxs, bxo, qt, K1: int, tz: int,
+def _fused_x_ho(acc, v, dmT, lT, aT, bxs, bxo, qt, K1: int, tz: int,
                 wy: int, interpret: bool = False):
     # v/acc: (K1[t_high], K1[t_low], K1[l], nz, ny, n); staged ops lane-packed
     # (rows, nz*wy) per ops/context.py
@@ -420,7 +444,7 @@ def _fused_x_ho(acc, v, sT, dmT, lT, aT, bxs, bxo, qt, K1: int, tz: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3,
             vmem_limit_bytes=_VMEM_LIMIT_HO),
-        in_specs=[cell, cell, face(n + 1), face(n + 1), face(n), face(n),
+        in_specs=[cell, cell, face(n + 1), face(n), face(n),
                   coef(2, K1), coef(2, K1), coef(K1, K1)],
         out_specs=cell,
         scratch_shapes=[
@@ -429,11 +453,11 @@ def _fused_x_ho(acc, v, sT, dmT, lT, aT, bxs, bxo, qt, K1: int, tz: int,
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(acc, v, sT, dmT, lT, aT, bxs, bxo, qt)
+    )(acc, v, dmT, lT, aT, bxs, bxo, qt)
 
 
 @functools.partial(jax.jit, static_argnames=("K1", "ts", "tc", "interpret"))
-def _fused_z_ho(acc, v, s, dm, l, alpha, bxs, bxo, qt, K1: int, ts: int,
+def _fused_z_ho(acc, v, dm, l, alpha, bxs, bxo, qt, K1: int, ts: int,
                 tc: int, interpret: bool = False):
     # v/acc: (K1[l], K1[ty], K1[tx], n, S, C); face ops (n+1 or n, S, C);
     # alpha (n, S, C); bxs/bxo (T, 2, K1); qt (T, K1, K1)
@@ -455,25 +479,25 @@ def _fused_z_ho(acc, v, s, dm, l, alpha, bxs, bxo, qt, K1: int, ts: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 4,
             vmem_limit_bytes=_VMEM_LIMIT_HO),
-        in_specs=[cell, cell, face(n + 1), face(n + 1), face(n), face(n),
+        in_specs=[cell, cell, face(n + 1), face(n), face(n),
                   coef(2, K1), coef(2, K1), coef(K1, K1)],
         out_specs=cell,
         scratch_shapes=[pltpu.VMEM((n + 1, ts, tc), v.dtype)],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(acc, v, s, dm, l, alpha, bxs, bxo, qt)
+    )(acc, v, dm, l, alpha, bxs, bxo, qt)
 
 
-def fused_ho_dir(fes, di, acc, v, mask, dinvm, l, alpha, tables,
+def fused_ho_dir(fes, di, acc, v, dinvm, l, alpha, tables,
                  interpret: bool = False) -> Optional[jnp.ndarray]:
     """acc + (condensed B_d A_d^{-1} B_d^T + Qbub/alpha) v for one direction of
     a k >= 1 space, or None if no kernel fits (caller falls back to the unfused
     condensed ops).
 
     acc, v: internal flux (..., P, nz, ny, nx) with all dims before P of size 1.
-    For the z direction pass mask/dinvm/l/alpha in their natural layouts; for
-    y/x pass the PRE-STAGED context operands (hoyT_*/hoxT_*, ops/context.py).
-    tables: ho_coeff_tables(fes, di).
+    For the z direction pass dinvm/l/alpha in their natural layouts; for
+    y/x pass the PRE-STAGED context operands (tri_hoyT_*/tri_hoxT_*,
+    ops/context.py).  tables: ho_coeff_tables(fes, di).
 
     The P axis factors as (K1[pz], K1[py], K1[px]) under a free leading-axis
     reshape (modes enumerated x-fastest), which is exactly each kernel's
@@ -500,7 +524,6 @@ def fused_ho_dir(fes, di, acc, v, mask, dinvm, l, alpha, tables,
         tiles = _tiles_ho(n, (ny, nx), v.dtype, K1)
         out = _fused_z_ho(
             acc6, v6,
-            jnp.broadcast_to(mask, (n + 1, ny, nx)).astype(dt),
             jnp.broadcast_to(dinvm, (n + 1, ny, nx)).astype(dt),
             jnp.broadcast_to(l, (n, ny, nx)).astype(dt),
             jnp.broadcast_to(alpha, (n, ny, nx)).astype(dt),
@@ -511,11 +534,11 @@ def fused_ho_dir(fes, di, acc, v, mask, dinvm, l, alpha, tables,
 
     if di.axis == 1:  # y: staged solve-axis-major operands (ny+1, nz, nx)
         n = ny
-        if mask.shape != (n + 1, nz, nx):
+        if dinvm.shape != (n + 1, nz, nx):
             return None  # caller passed unstaged operands
         tiles = _tiles_ho_y(n, (nz, nx), v.dtype, K1)
         out = _fused_y_ho(
-            acc6, v6, mask.astype(dt), dinvm.astype(dt), l.astype(dt),
+            acc6, v6, dinvm.astype(dt), l.astype(dt),
             alpha.astype(dt), cb(bxs), cb(bxo), cb(qt),
             K1=K1, ts=tiles[0], tc=tiles[1], interpret=interpret,
         )
@@ -524,12 +547,12 @@ def fused_ho_dir(fes, di, acc, v, mask, dinvm, l, alpha, tables,
     # x: wide transposed form per z-slab on the natural 6D layout
     n = nx
     wy = _pad_up(ny, 128)
-    if mask.shape != (n + 1, nz * wy):
+    if dinvm.shape != (n + 1, nz * wy):
         return None  # caller passed unstaged operands
     tz = _tz_ho_x(n, nz, ny, v.dtype, K1)
     out = _fused_x_ho(
         acc6, v6,
-        mask.astype(dt), dinvm.astype(dt), l.astype(dt), alpha.astype(dt),
+        dinvm.astype(dt), l.astype(dt), alpha.astype(dt),
         cb(bxs), cb(bxo), cb(qt),
         K1=K1, tz=tz, wy=wy, interpret=interpret,
     )

@@ -96,10 +96,9 @@ def _spec_for(key: str, shape, axis_map: Dict[int, str], mesh: Mesh) -> P:
 
 #: context keys ONLY consumed by the single-device pre-staged fused kernels
 #: (fused_schur_{x,y}_pre engage only when no sharding scope is active)
-_XT_PREFIXES = ("fusedxT_", "tri_xT_", "fusedyT_", "tri_yT_")
+_XT_PREFIXES = ("tri_xT_", "tri_yT_")
 #: fused-kernel operands, unused for a direction whose solve axis is cut
-_FUSED_PREFIXES = ("scale_fused_", "tri_dinvm_",
-                   "hoyT_", "tri_hoyT_", "hoxT_", "tri_hoxT_")
+_FUSED_PREFIXES = ("tri_dinvm_", "tri_hoyT_", "tri_hoxT_")
 #: face arrays (n_cells + 1 along their own axis) that the ops re-join from a
 #: body + seam split via apply.ctx_face
 _SPLIT_PREFIXES = ("tri_dinv_", "mask_", "dtilde_", "jscale_")

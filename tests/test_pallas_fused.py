@@ -67,8 +67,9 @@ def test_fused_matches_unfused_all_directions(bc):
         dm = jnp.expand_dims(ctx[f"tri_dinvm_{key}"], -4)
         lf = jnp.expand_dims(ctx[f"tri_l_{key}"], -4)
         res = fused_schur_dir(
-            out, v, ctx[f"scale_fused_{key}"], dm, lf, di.axis - 3,
-            float(di.BX[0, 0, 0]), float(di.BX[1, 0, 0]), interpret=True,
+            out, v, dm, lf, di.axis - 3,
+            float(di.BX[0, 0, 0]), float(di.BX[1, 0, 0]),
+            1.0 / float(di.m_t[0]), interpret=True,
         )
         assert res is not None, f"fused kernel declined direction {di.d}"
         out = res
@@ -88,33 +89,35 @@ def test_fused_pre_staged_matches_broadcast_kernel(d):
     key = f"d{d}"
     tag = "xT" if d == 0 else "yT"
     fn = fused_schur_x_pre if d == 0 else fused_schur_y_pre
-    assert f"tri_{tag}_dinvm_{key}" in ctx and f"fused{tag}_scale_{key}" in ctx
+    assert f"tri_{tag}_dinvm_{key}" in ctx
     rng = np.random.default_rng(5)
     di = [x for x in fes.dirs if x.d == d][0]
+    si = 1.0 / float(di.m_t[0])
     for g in range(ng):
         ctxg = ctx_group(ctx, g)
         v = jnp.asarray(rng.normal(size=(1, *mesh.shape)), DT)
         acc = jnp.asarray(rng.normal(size=(1, *mesh.shape)), DT)
         res = fn(
-            acc, v, ctxg[f"fused{tag}_scale_{key}"], ctxg[f"tri_{tag}_dinvm_{key}"],
-            ctxg[f"tri_{tag}_l_{key}"], float(di.BX[0, 0, 0]), float(di.BX[1, 0, 0]),
+            acc, v, ctxg[f"tri_{tag}_dinvm_{key}"],
+            ctxg[f"tri_{tag}_l_{key}"], float(di.BX[0, 0, 0]),
+            float(di.BX[1, 0, 0]), si,
             interpret=True,
         )
         assert res is not None
         dm = jnp.expand_dims(ctxg[f"tri_dinvm_{key}"], -4)
         lf = jnp.expand_dims(ctxg[f"tri_l_{key}"], -4)
-        want = fused_schur_dir(acc, v, ctxg[f"scale_fused_{key}"], dm, lf,
+        want = fused_schur_dir(acc, v, dm, lf,
                                di.axis - 3,
                                float(di.BX[0, 0, 0]), float(di.BX[1, 0, 0]),
-                               interpret=True)
+                               si, interpret=True)
         np.testing.assert_allclose(np.asarray(res), np.asarray(want),
                                    rtol=3e-5, atol=3e-5)
 
     # batched (multi-group) layouts must decline to the broadcast kernel
     v_all = jnp.zeros((ng, 1, *mesh.shape), DT)
-    res = fn(v_all, v_all, ctx[f"fused{tag}_scale_{key}"],
+    res = fn(v_all, v_all,
              ctx[f"tri_{tag}_dinvm_{key}"], ctx[f"tri_{tag}_l_{key}"],
-             1.0, -1.0, interpret=True)
+             1.0, -1.0, si, interpret=True)
     assert res is None
 
 
@@ -164,8 +167,8 @@ def test_fused_declines_small_shapes():
     key = f"d{di.d}"
     dm = jnp.expand_dims(ctx[f"tri_dinvm_{key}"], -4)
     lf = jnp.expand_dims(ctx[f"tri_l_{key}"], -4)
-    res = fused_schur_dir(v, v, ctx[f"scale_fused_{key}"], dm, lf, di.axis - 3,
-                          1.0, -1.0, interpret=True)
+    res = fused_schur_dir(v, v, dm, lf, di.axis - 3,
+                          1.0, -1.0, 1.0 / float(di.m_t[0]), interpret=True)
     assert res is None
 
 
@@ -193,10 +196,10 @@ def test_fused_sharded_matches_unfused():
         key = f"d{di.d}"
         dm = jnp.expand_dims(ctx[f"tri_dinvm_{key}"], -4)
         lf = jnp.expand_dims(ctx[f"tri_l_{key}"], -4)
-        res = _fused_sharded((dmesh, amap), out, v, ctx[f"scale_fused_{key}"],
+        res = _fused_sharded((dmesh, amap), out, v,
                              dm, lf, di.axis - 3,
                              float(di.BX[0, 0, 0]), float(di.BX[1, 0, 0]),
-                             interpret=True)
+                             1.0 / float(di.m_t[0]), interpret=True)
         if di.axis == 1:
             assert res is None  # solve axis on the cut: must decline
         if res is None:
