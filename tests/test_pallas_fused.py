@@ -216,3 +216,63 @@ def test_fused_sharded_matches_unfused():
     assert n_sharded == 2  # x and z went through the sharded fused kernel
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+@pytest.mark.parametrize("pin_kind", [BCKind.MIRROR, BCKind.NEUMANN])
+def test_pinned_face_factors_are_zero(k, pin_kind):
+    """The invariant BOTH fused kernel families rely on after dropping the
+    streamed rhs scale/mask plane (round 3b): wherever the context pins a face
+    (mask == 0), the factored off-diagonal OUT of that face (l_f, f < n) and
+    its dinv*mask entry are EXACTLY zero, so an un-masked forward-sweep value
+    at a pinned face can never reach a valid output (pallas_fused.py /
+    pallas_fused_ho.py module docstrings).  context.py guarantees it by
+    zeroing offd BEFORE the LDL^T factorization (context.py:263-265); this
+    test pins that ordering so a future BC kind cannot silently break the
+    kernel math."""
+    mesh = CartesianMesh.from_breaks(
+        np.linspace(0.0, 8.0, 9), np.linspace(0.0, 7.0, 8),
+        np.linspace(0.0, 6.0, 7),
+    )
+    fes = make_fespace(mesh, k, k)
+    ng = 2
+    rng = np.random.default_rng(7)
+    xs = {
+        "D": rng.uniform(0.3, 2.0, (ng, *mesh.shape)),
+        "SigR": rng.uniform(0.01, 0.2, (ng, *mesh.shape)),
+        "NSF": np.zeros((ng, *mesh.shape)),
+        "Chi": np.ones((ng, *mesh.shape)),
+        "SigS": np.zeros((ng, ng, *mesh.shape)),
+        "SRC": np.zeros((ng, *mesh.shape)),
+    }
+    # mix pinning and non-pinning kinds so interior entries stay nonzero
+    bcs = BCSpec()
+    for ax in range(3):
+        bcs.set(boundary_attribute(3, ax, False), pin_kind)
+        bcs.set(boundary_attribute(3, ax, True),
+                BCKind.DIRICHLET if ax != 1 else pin_kind)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
+
+    pinned_dirs = 0
+    for di in fes.dirs:
+        key = f"d{di.d}"
+        mask = np.asarray(ctx[f"mask_{key}"])
+        dinvm = np.asarray(ctx[f"tri_dinvm_{key}"])
+        l = np.asarray(ctx[f"tri_l_{key}"])
+        fax = di.axis  # 3D mesh: mask is (nz, ny, nx) with n+1 along fax
+        n = mask.shape[fax] - 1  # faces 0..n
+        pin = (np.moveaxis(mask, fax, 0) == 0.0)
+        if not pin.any():
+            continue
+        pinned_dirs += 1
+        # dinvm carries a leading group axis: move ITS face axis forward
+        dm_f = np.moveaxis(dinvm, fax + 1, 0)
+        l_f = np.moveaxis(l, fax + 1, 0)
+        for f in range(n + 1):
+            sel = pin[f]
+            if not sel.any():
+                continue
+            assert (dm_f[f][..., sel] == 0.0).all(), (key, f, "dinvm")
+            if f < n:
+                assert (l_f[f][..., sel] == 0.0).all(), (key, f, "l_f")
+    assert pinned_dirs == 3  # every direction had at least one pinned face
