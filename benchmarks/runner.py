@@ -238,6 +238,98 @@ class BenchmarkRun:
         """% deviation of assembly power factors vs a reference table (check_Ffaisc)."""
         return 100.0 * (reference_map - self.Fass) / reference_map
 
+    # -- plotting (reference driver parity: iaea2d.py:82-130, 437-477) ----------
+
+    def _heatmap(self, data, title, cbar_label=None, annot=None, path=None):
+        """One heatmap panel (matplotlib, Agg-safe).  Saves a PNG when ``path``
+        is given, else plt.show() like the reference's seaborn plots."""
+        import matplotlib
+
+        if path is not None:
+            matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(10, 8))
+        im = ax.imshow(np.asarray(data, float), cmap="jet", interpolation="nearest")
+        fig.colorbar(im, ax=ax, label=cbar_label)
+        if annot is not None:
+            ny, nx = np.shape(data)[:2]
+            for i in range(ny):
+                for j in range(nx):
+                    ax.text(j, i, format(data[i][j], annot), ha="center",
+                            va="center", fontsize=7, color="w")
+        ax.set_title(title)
+        fig.tight_layout()
+        if path is not None:
+            fig.savefig(path, dpi=110)
+            plt.close(fig)
+            return path
+        plt.show()
+        return None
+
+    def _plane(self, a):
+        """Mid-plane slice of a (possibly 3D) per-cell field."""
+        return a[a.shape[0] // 2] if self.spec.dim == 3 and a.ndim == 3 else a
+
+    def plot_geometry(self, path=None):
+        """Geometry map: 0 = background, 1.. = material index (plot_geom,
+        iaea2d.py:82-97)."""
+        chars = sorted(self.spec.materials)
+        lut = {c: i + 1 for i, c in enumerate(chars)}
+        grid = self.grid[self.grid.shape[0] // 2]
+        img = [[lut.get(c, 0) for c in row] for row in grid]
+        return self._heatmap(img, f"Geometry - {self.spec.name} "
+                             f"{self.mesh_n}x{self.mesh_n} - {self.domain}",
+                             path=path)
+
+    def plot_flux(self, group=0, adjoint=False, path=None):
+        """Scalar-flux heatmap for one group (plot_flux, iaea2d.py:437-452)."""
+        s = self.solver
+        flux = s.get_flux_adj() if adjoint else s.get_flux()
+        label = "adjoint" if adjoint else "direct"
+        keff = self.keff_adj if adjoint else self.keff
+        return self._heatmap(self._plane(np.asarray(flux[group])),
+                             f"Flux group {group + 1} ({label}) - "
+                             f"k-eff = {keff:.5f}",
+                             cbar_label=f"flux g{group + 1} ({label})", path=path)
+
+    def plot_power(self, path=None):
+        """Per-cell fission power (plot_pvol, iaea2d.py:454-465)."""
+        s = self.solver
+        pvol = (np.asarray(s.get_NSF()) * np.asarray(s.get_flux())).sum(axis=0)
+        return self._heatmap(self._plane(pvol),
+                             f"Power distribution - k-eff = {self.keff:.5f}",
+                             cbar_label="power", path=path)
+
+    def plot_fass(self, path=None):
+        """Annotated assembly power factors (plot_Fass, iaea2d.py:467-477)."""
+        if self.Fass is None:
+            return None
+        return self._heatmap(self.Fass, f"Assembly power factors - "
+                             f"k-eff = {self.keff:.5f}", annot=".4f", path=path)
+
+    def plot_all(self, directory=".", stem=None):
+        """Write every available heatmap as PNG; returns the paths written."""
+        import os
+
+        stem = stem or self.spec.name
+        os.makedirs(directory, exist_ok=True)
+        out = []
+        for nm, fn in [("geom", self.plot_geometry), ("power", self.plot_power),
+                       ("fass", self.plot_fass)]:
+            p = fn(path=os.path.join(directory, f"{stem}_{nm}.png"))
+            if p:
+                out.append(p)
+        for g in range(self.spec.ng):
+            out.append(self.plot_flux(
+                group=g, path=os.path.join(directory, f"{stem}_flux_g{g + 1}.png")))
+        if self.keff_adj is not None:
+            for g in range(self.spec.ng):
+                out.append(self.plot_flux(
+                    group=g, adjoint=True,
+                    path=os.path.join(directory, f"{stem}_adjflux_g{g + 1}.png")))
+        return out
+
 
 def run_benchmark(name: str, mesh_n: int = 2, mesh_nz: int = 1, domain: str = "entier",
                   adjoint: bool = False, use_coarse_init: bool = False,
@@ -267,6 +359,9 @@ def main(name: str, argv: Optional[Sequence[str]] = None):
     p.add_argument("--cmfd", action="store_true")
     p.add_argument("--diag", action="store_true", help="reference diagonal-Schur mode")
     p.add_argument("--vtk", default=None, help="export VTK to this basename")
+    p.add_argument("--plot", action="store_true",
+                   help="write geometry/flux/power/Fass heatmap PNGs")
+    p.add_argument("--plot-dir", default=".", help="directory for --plot PNGs")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -298,4 +393,7 @@ def main(name: str, argv: Optional[Sequence[str]] = None):
         run.solver.ExportVTK(args.vtk, export_flux=True, export_current=True,
                              export_xs=True, export_adjoint=args.adjoint)
         print(f"  VTK written to {args.vtk}.vtk")
+    if args.plot:
+        for path in run.plot_all(directory=args.plot_dir):
+            print(f"  plot written to {path}")
     return run

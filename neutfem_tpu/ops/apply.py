@@ -575,6 +575,11 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
     import os
 
     out = ctx["C"] * v
+    # NEUTFEM_PALLAS_INTERPRET=1 routes the fused dispatch through interpret-mode
+    # pallas_call on CPU: the multichip dryrun + CPU tests can then exercise the
+    # REAL kernel shard_map paths (incl. _fused_sharded_ho's lane-packed x
+    # operands) end-to-end, not just the unfused fallback (round-3 VERDICT Next #4).
+    interp = os.environ.get("NEUTFEM_PALLAS_INTERPRET", "0") == "1"
     use_fused = (
         fused
         and a_mode == "exact"
@@ -587,7 +592,7 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
         from ..shardctx import current_sharding
         from .pallas_tridiag import pallas_available
 
-        use_fused = pallas_available()
+        use_fused = pallas_available() or interp
         sh = current_sharding()
     # Higher-order (k >= 1) condensed path: the bubble algebra of
     # apply_BT/solve_A/apply_B folds EXACTLY into the constants
@@ -610,7 +615,7 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
         from ..shardctx import current_sharding
         from .pallas_tridiag import pallas_available
 
-        use_ho_kernel = pallas_available()
+        use_ho_kernel = pallas_available() or interp
         sh_ho = current_sharding()
     for di in fes.dirs:
         key = f"d{di.d}"
@@ -625,7 +630,8 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
                     # directions (and declines) take the unfused condensed
                     # chain below
                     res = _fused_sharded_ho(sh_ho, fes, di, out, v, ctx,
-                                            ho_coeff_tables(fes, di))
+                                            ho_coeff_tables(fes, di),
+                                            interpret=interp)
                 else:
                     if di.axis == 1 and f"tri_hoyT_dinvm_{key}" in ctx:
                         ops = (ctx[f"tri_hoyT_dinvm_{key}"],
@@ -639,7 +645,8 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
                         ops = (ctx[f"tri_dinvm_{key}"],
                                ctx[f"tri_l_{key}"], ctx[f"alpha_{key}"])
                     res = fused_ho_dir(fes, di, out, v, *ops,
-                                       ho_coeff_tables(fes, di))
+                                       ho_coeff_tables(fes, di),
+                                       interpret=interp)
                 if res is not None:
                     out = res
                     continue
@@ -681,7 +688,7 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
                 res = fused_schur_x_pre(
                     out, v,
                     ctx[f"tri_xT_dinvm_{key}"], ctx[f"tri_xT_l_{key}"],
-                    bx0, bx1, si,
+                    bx0, bx1, si, interpret=interp,
                 )
                 if res is not None:
                     out = res
@@ -691,7 +698,7 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
                 res = fused_schur_y_pre(
                     out, v,
                     ctx[f"tri_yT_dinvm_{key}"], ctx[f"tri_yT_l_{key}"],
-                    bx0, bx1, si,
+                    bx0, bx1, si, interpret=interp,
                 )
                 if res is not None:
                     out = res
@@ -701,7 +708,7 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
             if sh is None:
                 res = fused_schur_dir(
                     out, v, dm, lf, di.axis - 3,
-                    bx0, bx1, si,
+                    bx0, bx1, si, interpret=interp,
                 )
             else:
                 # direction orthogonal to every mesh cut: per-shard fused kernel
@@ -709,7 +716,7 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
                 # partitionable unfused path below
                 res = _fused_sharded(
                     sh, out, v, dm, lf, di.axis - 3,
-                    bx0, bx1, si,
+                    bx0, bx1, si, interpret=interp,
                 )
             if res is not None:
                 out = res

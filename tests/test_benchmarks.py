@@ -166,3 +166,15 @@ def test_iaea2d_quarter_domain():
     q = BenchmarkRun(BENCHMARKS["iaea2d"], mesh_n=2, domain="quart_so")
     q.solve(tol=TOL)
     assert q.keff == pytest.approx(full.keff, abs=5e-6)
+
+
+def test_plot_parity_writes_pngs(tmp_path):
+    """--plot parity with the reference drivers (iaea2d.py:82-130, 437-477):
+    geometry/power/Fass/flux heatmaps all land as non-empty PNGs (Agg backend)."""
+    run = _run("iaea2d", 1, adjoint=True)
+    paths = run.plot_all(directory=str(tmp_path))
+    # geom, power, fass, 2 direct flux groups, 2 adjoint flux groups
+    assert len(paths) == 7
+    for p in paths:
+        data = open(p, "rb").read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 1000, p
