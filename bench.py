@@ -152,6 +152,59 @@ def main_full() -> None:
         print(json.dumps(row))
         rows.append(row)
 
+    # KOEBERG-2D 4-group row (round-3 VERDICT Next #6): the group sweep cost is
+    # quadratic in ng (4 groups + thermal upscatter back-coupling) and had no
+    # committed TPU timing.  mesh 32x32 per assembly = 544^2 = 295,936 cells.
+    kspec = BENCHMARKS["koeberg2d"]
+    run = BenchmarkRun(kspec, mesh_n=32, verbose=False)
+    run.solve(tol=(1e-5, 1e-4, 1e-4, 200, 1000))
+    run.solver.reset_flux()
+    t0 = time.time()
+    keff = run.solver.SolveKeff()
+    wall = time.time() - t0
+    outers = run.solver._last_outers
+    row = {
+        "metric": "koeberg2d_4group_seconds_per_outer_iteration",
+        "value": round(wall / max(outers, 1), 6), "unit": "s/outer",
+        "detail": {
+            "keff": round(keff, 7),
+            "pcm": round(1e5 * (1.0 / kspec.kref - 1.0 / keff), 2),
+            "n_cells": run.solver.GetNumElements(), "n_groups": 4,
+            "outer_iterations": outers,
+            "inner_iterations": run.solver._last_inners,
+            "solve_wall_s": round(wall, 3), "mesh": "32x32",
+        },
+    }
+    print(json.dumps(row))
+    rows.append(row)
+
+    # IAEA-3D FREE-RUNNING adjoint row (Next #6): SolveAdjoint is a first-class
+    # solve path (transposed couplings, REVERSE group sweep) with no committed
+    # TPU timing.  Free-running (use_direct_keff=False) so the row also certifies
+    # k-adjoint == k-direct on the real chip at the headline 988k-cell scale.
+    run = BenchmarkRun(spec, mesh_n=6, mesh_nz=4, verbose=False)
+    run.solve(tol=(1e-5, 1e-4, 1e-4, 200, 1000))
+    k_direct = run.keff
+    run.solver.SolveAdjoint(use_direct_keff=False)   # includes adjoint compile
+    run.solver._phi_adj = None                        # cold adjoint flux, warm jit
+    t0 = time.time()
+    k_adj = run.solver.SolveAdjoint(use_direct_keff=False)
+    wall = time.time() - t0
+    outers = len(run.solver.get_iteration_history())
+    row = {
+        "metric": "iaea3d_adjoint_seconds_per_outer_iteration",
+        "value": round(wall / max(outers, 1), 6), "unit": "s/outer",
+        "detail": {
+            "keff_adjoint": round(k_adj, 7), "keff_direct": round(k_direct, 7),
+            "adjoint_vs_direct_pcm": round(1e5 * abs(1.0 / k_direct - 1.0 / k_adj), 3),
+            "n_cells": run.solver.GetNumElements(),
+            "outer_iterations": outers,
+            "solve_wall_s": round(wall, 3), "mesh": "6x6x4",
+        },
+    }
+    print(json.dumps(row))
+    rows.append(row)
+
     with open("BENCH_extra.json", "w") as f:
         json.dump(rows, f, indent=1)
 

@@ -385,6 +385,13 @@ class NeutFEM:
                 a_mode=a_mode, dtype=self._dtype, marshak_d_factor=True,
             )
         ctx = self._ctx_cache[a_mode]
+        if (os.environ.get("NEUTFEM_PRECOND") == "twogrid" and "tg" not in ctx
+                and a_mode == "exact"):
+            from neutfem_tpu.twogrid import attach_twogrid
+
+            self._log(VerbosityLevel.VERBOSE, "Building two-grid coarse context")
+            attach_twogrid(self._fes, self._ng, self._ixs(), self._ibcs(), ctx,
+                           dtype=self._dtype, marshak_d_factor=True)
         if self._inner_solver() == "direct" and "schur_chol" not in ctx:
             from neutfem_tpu.ops.direct import attach_dense_schur
 
@@ -439,6 +446,9 @@ class NeutFEM:
             # Schur CG preconditioner ("auto" | "jacobi" | "line" | "line2");
             # env knob for experiments — see power.SolveOptions.inner_precond
             inner_precond=os.environ.get("NEUTFEM_PRECOND", "auto"),
+            # two-grid knobs (only read when inner_precond == "twogrid")
+            tg_degree=int(os.environ.get("NEUTFEM_TG_DEGREE", "8")),
+            tg_kappa=float(os.environ.get("NEUTFEM_TG_KAPPA", "30.0")),
             # branch-free Chebyshev blend (measured win; NEUTFEM_CHEBBLEND=0
             # reverts to the lax.cond+switch form for A/B re-adjudication)
             cheby_blend=os.environ.get("NEUTFEM_CHEBBLEND", "1") != "0",

@@ -118,6 +118,8 @@ def shard_context(ctx: Dict, mesh: Mesh, fes: FESpace, grid_axis: GridAxes = 1) 
     cut_axes = {f"d{di.d}": di.axis for di in fes.dirs if di.axis in amap}
     out = {}
     for k, v in ctx.items():
+        if isinstance(v, dict):
+            continue  # nested sub-contexts (two-grid "tg") decline under sharding
         if k.startswith(_XT_PREFIXES):
             continue  # single-device-only fused-x operands
         dkey = k.rsplit("_", 1)[-1]

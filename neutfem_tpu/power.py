@@ -95,9 +95,18 @@ class SolveOptions:
                                   # apply only pays off sometimes — measured
                                   # 41.4 -> 40.4 ms/outer at 2.6M but
                                   # 58.7 -> 63.4 at 3.5M; opt-in) | "jacobi"
-                                  # (diag-S equilibration only) | "auto" (line
-                                  # above 2M cells, jacobi below — the measured
+                                  # (diag-S equilibration only) | "twogrid"
+                                  # (additive coarse-grid correction on top of
+                                  # the fine preconditioner — requires
+                                  # twogrid.attach_twogrid on the ctx; declines
+                                  # to the fine preconditioner under sharding
+                                  # or when unattached) | "auto" (line
+                                  # above 3M cells, jacobi below — the measured
                                   # crossover on v5e IAEA-3D)
+    tg_degree: int = 8            # twogrid: Chebyshev degree of the coarse
+                                  # approximate inverse (= coarse matvecs per
+                                  # CG iteration)
+    tg_kappa: float = 30.0        # twogrid: Chebyshev interval [lmax/kappa, lmax]
     use_cmfd: bool = False        # CMFD nonlinear acceleration (excludes Chebyshev)
     cmfd_omega: float = 1.0       # CMFD correction relaxation (SetCMFDRelaxation)
     cmfd_from_iter: int = 2       # first outer iteration with CMFD (NeutFEM.cpp:1750)
@@ -140,8 +149,12 @@ def ctx_group(ctx: Dict, g: int) -> Dict:
     """Slice the per-group arrays of the operator context for group g (static int)."""
     out = {}
     for k, v in ctx.items():
-        if k.startswith(("C", "alpha_", "tri_", "precond", "cyc_", "src_bc", "jcorr_",
-                         "schur_")):
+        if isinstance(v, dict):
+            # nested sub-context (e.g. the two-grid coarse context under "tg"):
+            # same per-group key-prefix rules, recursively
+            out[k] = ctx_group(v, g)
+        elif k.startswith(("C", "alpha_", "tri_", "precond", "cyc_", "src_bc",
+                           "jcorr_", "schur_")):
             out[k] = v[g]
         else:
             out[k] = v
@@ -228,6 +241,19 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0, tol=None)
             # line preconditioner pays off only once meshes get fine enough.
             pc_mode = "line" if fes.mesh.n_elements >= 3_000_000 else "jacobi"
     precond_dots = None
+    tg_corr = None
+    if pc_mode == "twogrid":
+        # Additive two-grid (twogrid.py): coarse correction ON TOP of the usual
+        # fine-level preconditioner.  Declines (fine part only — same fixed
+        # point) when the coarse context is unattached or under spatial
+        # sharding (the coarse matvec is not shard-mapped).
+        from .shardctx import current_sharding as _tg_sharding
+
+        if "tg" in ctxg and _tg_sharding() is None:
+            from .twogrid import twogrid_correction
+
+            tg_corr = lambda r: twogrid_correction(fes, ctxg, opts, r)
+        pc_mode = "block" if fes.P > 1 else "jacobi"
     if pc_mode == "block" and "precond_blk_inv" in ctxg:
         # P x P per-cell block-Jacobi (higher orders): captures the inter-mode
         # coupling of the Schur diagonal block that pointwise Jacobi ignores
@@ -304,6 +330,10 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0, tol=None)
             precond = applies[0]
         elif applies:
             precond = lambda r: applies[0](r) + applies[1](r)
+    if tg_corr is not None:
+        base = precond if precond is not None else (lambda r: r)
+        precond = lambda r, _b=base: _b(r) + tg_corr(r)
+        precond_dots = None  # the fused block-dots path bypasses the correction
     kw = {"precond_dots": precond_dots} if precond_dots is not None else {}
     res = solver(matvec, rhs * sdi, x0 / sdi, precond=precond,
                  tol=opts.inner_tol if tol is None else tol,
