@@ -205,6 +205,33 @@ def main_full() -> None:
     print(json.dumps(row))
     rows.append(row)
 
+    # Two-grid Schur preconditioner adjudication record (round-4 VERDICT #3):
+    # STATIC measured constants, not re-measured each round (the tg build +
+    # compile costs ~8 min and the verdict is a rejection — both coarse-inverse
+    # forms lose at every scale; see neutfem_tpu/twogrid.py + CLAUDE.md).
+    # Same-process A/B on the real chip, tg context prebuilt outside the timed
+    # region, 2026-08-19 (/tmp/tg_ab2.py pattern).
+    rows.append({
+        "metric": "twogrid_precond_adjudication",
+        "value": 0, "unit": "adjudicated-rejected",
+        "detail": {
+            "verdict": "rejected: stays opt-in (NEUTFEM_PRECOND=twogrid)",
+            "ms_per_outer": {
+                "988k": {"baseline": 5.29, "tg_dense": 10.73, "tg_cheby": 97.0},
+                "2.6M": {"baseline": 14.26, "tg_dense": 33.11, "tg_cheby": 157.9},
+                "3.5M": {"baseline": 37.14, "tg_dense": 49.68, "tg_cheby": 157.6},
+            },
+            "inners_per_outer": {
+                "988k": {"baseline": 31.4, "tg_dense": 24.1, "tg_cheby": 23.8},
+                "2.6M": {"baseline": 43.0, "tg_dense": 37.1, "tg_cheby": 22.4},
+                "3.5M": {"baseline": 39.4, "tg_dense": 42.3, "tg_cheby": 25.6},
+            },
+            "why": "dense coarse inverse = 94 MB HBM read/apply at full bw; "
+                   "cheby coarse matvec = ~100 tiny-kernel latency; adaptive "
+                   "inner tolerance already caps inners at 31-47/outer",
+        },
+    })
+
     with open("BENCH_extra.json", "w") as f:
         json.dump(rows, f, indent=1)
 

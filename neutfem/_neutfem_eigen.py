@@ -387,11 +387,17 @@ class NeutFEM:
         ctx = self._ctx_cache[a_mode]
         if (os.environ.get("NEUTFEM_PRECOND") == "twogrid" and "tg" not in ctx
                 and a_mode == "exact"):
-            from neutfem_tpu.twogrid import attach_twogrid
+            from neutfem_tpu.twogrid import DENSE_MAX_NC, attach_twogrid
 
             self._log(VerbosityLevel.VERBOSE, "Building two-grid coarse context")
             attach_twogrid(self._fes, self._ng, self._ixs(), self._ibcs(), ctx,
-                           dtype=self._dtype, marshak_d_factor=True)
+                           dtype=self._dtype, marshak_d_factor=True,
+                           # dense precomputed coarse inverse by default;
+                           # NEUTFEM_TG_MODE=cheby re-adjudicates the (measured
+                           # slower) polynomial form
+                           mode=os.environ.get("NEUTFEM_TG_MODE", "dense"),
+                           dense_max=int(os.environ.get(
+                               "NEUTFEM_TG_DENSE_MAX", DENSE_MAX_NC)))
         if self._inner_solver() == "direct" and "schur_chol" not in ctx:
             from neutfem_tpu.ops.direct import attach_dense_schur
 
