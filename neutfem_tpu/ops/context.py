@@ -579,10 +579,23 @@ def build_context(
     out = {k: jnp.asarray(v, dtype=dtype) for k, v in ctx_np.items()}
     if "precond_blk_inv" in out and out["precond_blk_inv"].dtype == jnp.float32:
         # The P x P block-Jacobi inverse is equilibrated to unit diagonal
-        # (entries O(1)), so bfloat16 storage costs the preconditioner < 0.5%
-        # relative accuracy — but HALVES the dominant HBM traffic of its apply:
-        # the 64 per-cell coefficient planes were ~253 MB/call at RT1-P1 988k,
-        # ~16% of device time (round-3 trace).  The einsum upcasts to the flux
-        # dtype on the fly inside the fusion.
-        out["precond_blk_inv"] = out["precond_blk_inv"].astype(jnp.bfloat16)
+        # (entries O(1)), so low-precision storage costs the preconditioner
+        # little relative accuracy — but the P^2 per-cell coefficient planes
+        # are the apply's dominant HBM traffic (~16% of device time at RT1-P1
+        # 988k, the LARGEST single inner-loop op at RT2-P2 — round-3/4 traces).
+        # Two storage tiers, both upcast on the fly inside the einsum fusion:
+        #   bf16 (round 3): halves the f32 traffic; < 0.5% relative error.
+        #   fp8 e4m3 E-form (round 4, NEUTFEM_BLKFP8, default on): stores the
+        #   DEVIATION E = Binv - I in fp8 (the identity part is applied
+        #   exactly, so near-diagonal blocks keep full accuracy and the
+        #   preconditioner stays safely PD) — halves the traffic AGAIN.
+        #   Falls back to bf16 when |E| would saturate e4m3 (max 448).
+        bi = out.pop("precond_blk_inv")
+        eyeP = jnp.eye(fes.P, dtype=bi.dtype).reshape(1, fes.P, fes.P, 1, 1, 1)
+        dev = bi - eyeP
+        if (os.environ.get("NEUTFEM_BLKFP8", "1") != "0"
+                and float(jnp.max(jnp.abs(dev))) < 440.0):
+            out["precond_blk_dev"] = dev.astype(jnp.float8_e4m3fn)
+        else:
+            out["precond_blk_inv"] = bi.astype(jnp.bfloat16)
     return out

@@ -254,7 +254,17 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0, tol=None)
 
             tg_corr = lambda r: twogrid_correction(fes, ctxg, opts, r)
         pc_mode = "block" if fes.P > 1 else "jacobi"
-    if pc_mode == "block" and "precond_blk_inv" in ctxg:
+    if pc_mode == "block" and "precond_blk_dev" in ctxg:
+        # fp8 E-form block-Jacobi (round 4, NEUTFEM_BLKFP8): z = r + E r with
+        # E = Binv - I stored float8_e4m3fn and upcast inside the einsum
+        # fusion.  The identity part is exact, so near-diagonal blocks keep
+        # full accuracy; the P^2 coefficient planes — the apply's dominant
+        # HBM traffic — shrink 2x vs bf16 (measured standalone 1.27x on the
+        # whole RT2 apply chain; see build_context).
+        dev = ctxg["precond_blk_dev"]
+        precond = lambda r: r + jnp.einsum(
+            "...pqabc,...qabc->...pabc", dev.astype(jnp.bfloat16), r)
+    elif pc_mode == "block" and "precond_blk_inv" in ctxg:
         # P x P per-cell block-Jacobi (higher orders): captures the inter-mode
         # coupling of the Schur diagonal block that pointwise Jacobi ignores
         # (built on the equilibrated system in build_context).  Spatially

@@ -2,6 +2,8 @@
 condensed ops, interpret mode on CPU (the CPU suite never runs Mosaic, so
 kernel math MUST be interpret-tested — verify-skill rule)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -187,7 +189,7 @@ def test_tile_gates_decline_vmem_oom_shapes():
     assert _tiles_ho(152, (114, 152), jnp.float32, 3) is None
 
 
-def test_block_precond_stored_bf16_for_f32():
+def test_block_precond_storage_tiers():
     """The equilibrated P x P block-Jacobi inverse is stored bfloat16 when the
     solve dtype is float32 (halves its HBM traffic; entries are O(1))."""
     import jax.numpy as jnp
@@ -212,7 +214,24 @@ def test_block_precond_stored_bf16_for_f32():
         for up in (False, True):
             bcs.set(boundary_attribute(3, ax, up), BCKind.DIRICHLET)
     ctx = build_context(fes, ng, xs, bcs, dtype=jnp.float32)
-    assert ctx["precond_blk_inv"].dtype == jnp.bfloat16
+    assert ctx["precond_blk_dev"].dtype == jnp.float8_e4m3fn
+    assert "precond_blk_inv" not in ctx
+    old = os.environ.get("NEUTFEM_BLKFP8")
+    os.environ["NEUTFEM_BLKFP8"] = "0"
+    try:
+        ctx_bf = build_context(fes, ng, xs, bcs, dtype=jnp.float32)
+    finally:
+        if old is None:
+            os.environ.pop("NEUTFEM_BLKFP8")
+        else:
+            os.environ["NEUTFEM_BLKFP8"] = old
+    assert ctx_bf["precond_blk_inv"].dtype == jnp.bfloat16
+    # the fp8 E-form must reconstruct the bf16 inverse to e4m3 resolution
+    eyeP = np.eye(fes.P).reshape(1, fes.P, fes.P, 1, 1, 1)
+    rec = np.asarray(ctx["precond_blk_dev"].astype(jnp.float32)) + eyeP
+    ref = np.asarray(ctx_bf["precond_blk_inv"].astype(jnp.float32))
+    denom = np.abs(ref).max()
+    assert np.abs(rec - ref).max() / denom < 0.07, "fp8 E-form off"
     ctx64 = build_context(fes, ng, xs, bcs, dtype=jnp.float64)
     assert ctx64["precond_blk_inv"].dtype == jnp.float64
 

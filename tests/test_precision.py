@@ -122,3 +122,33 @@ def test_f32_survives_void_absorbers():
                                                 inner_tol=1e-5), ctx, phi0, 1.0)
     assert bool(jnp.isfinite(res["phi"]).all())
     assert np.isfinite(float(res["keff"])) and float(res["keff"]) > 0
+
+
+@pytest.mark.parametrize("order", [(1, 1), (2, 2)])
+def test_blkfp8_same_k_comparable_inners(order, monkeypatch):
+    """fp8 E-form block preconditioner (NEUTFEM_BLKFP8, round 4): same
+    eigenvalue as the bf16 full-inverse form, with iteration counts within
+    ~15% — a preconditioner perturbed at e4m3 resolution must not change the
+    fixed point (it only reweights the CG search)."""
+    import os
+
+    from neutfem_tpu.power import ctx_group
+
+    mesh, _, ng, xs, bcs = build_het_problem(nx=12, ny=12, k=order[0], m=order[1])
+    fes = make_fespace(mesh, *order)
+    opts = SolveOptions(tol_keff=1e-7, tol_flux=1e-6, inner_tol=1e-6)
+    phi0 = jnp.ones((ng, *mesh.shape, fes.P), dtype=jnp.float32)
+
+    res = {}
+    for knob in ("1", "0"):
+        monkeypatch.setenv("NEUTFEM_BLKFP8", knob)
+        ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=jnp.float32)
+        key = "precond_blk_dev" if knob == "1" else "precond_blk_inv"
+        assert key in ctx
+        res[knob] = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
+
+    dk_pcm = 1e5 * abs(1.0 / float(res["1"]["keff"]) - 1.0 / float(res["0"]["keff"]))
+    assert dk_pcm < 0.2, dk_pcm
+    in8, in16 = (int(res["1"]["inner_iterations"]),
+                 int(res["0"]["inner_iterations"]))
+    assert in8 < 1.15 * in16, (in8, in16)
