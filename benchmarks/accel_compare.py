@@ -58,7 +58,10 @@ def run_matrix(configs=CONFIGS, accels=ACCELS):
             })
             print(json.dumps(rows[-1]), flush=True)
         spread = max(keffs.values()) - min(keffs.values())
-        assert spread < 5e-6, f"{name}: accelerators disagree by {spread}"
+        # each accelerator stops when |dk| < tol_keff, so two converged solves
+        # may legitimately sit up to a few tol_keff apart around the fixed point
+        assert spread < 3.0 * tol[0], \
+            f"{name}: accelerators disagree by {spread} (tol_keff {tol[0]})"
     return rows
 
 
