@@ -460,6 +460,11 @@ def eqfold_available(fes: FESpace, ctx: Dict, shape, dtype, a_mode: str,
     if "precond_eq_sdi" not in ctx or "tri_xT_dinvm_d0" not in ctx \
             or "tri_yT_dinvm_d1" not in ctx or "tri_dinvm_d2" not in ctx:
         return False
+    nz_, ny_, _ = fes.mesh.shape
+    if ctx["tri_xT_dinvm_d0"].shape[-1] != nz_ * ny_:
+        # staged x operands are row-padded (the tb == 128 ragged-block fault
+        # guard); the eq kernels assume the unpadded layout — decline
+        return False
     if any(f"cyc_wt_d{di.d}" in ctx for di in fes.dirs):
         return False  # periodic directions use the Sherman-Morrison path
     from ..shardctx import current_sharding

@@ -79,6 +79,15 @@ def _tiles(shape, dtype, rel: int, fp: int = 0):
     if rel == 2:
         npad = _pad_up(n + 1, 128)
         fp = fp or 16
+        # The 256 floor is LOAD-BEARING (round-4 hardware adjudication): a
+        # tb = 128 x kernel in the long-solve-axis regime it implies
+        # (n >= ~770) FAULTS the v5e at runtime — deterministically for a
+        # ragged final row block (B = n = 912, remainder 16; exact division
+        # and tb >= 256 run clean standalone), and INTERMITTENTLY in-solve
+        # even with pad-to-multiple + no aliasing.  The padded form also
+        # LOSES to the unfused chain + the thin-ts Thomas kernels (2.26 vs
+        # 1.79 s full ZION 48x48 solve) — so long solve axes decline here
+        # and the tridiag kernels carry them (17x over the scan path).
         tb = _round_down(min(1024, _VMEM_BUDGET // (fp * npad * itemsize)), 256)
         return (tb,) if tb else None
     # ~20 VMEM footprints for y (6 double-buffered operand blocks + 6 relayout
@@ -736,13 +745,22 @@ def fused_schur_x_pre(acc, v, dmT, lT, bx0: float, bx1: float, si: float,
             return None  # batched layouts keep the broadcast kernel
     n = v.shape[-1]
     B = v.size // n
-    if n < 4 or B < 512 or dmT.shape != (n + 1, B):
+    if n < 4 or B < 512:
         return None
     t = _tiles(v.shape, v.dtype, 2)
     if t is None:
         return None
+    tb = t[0]
+    if tb < 256:
+        # belt: _tiles' 256 floor already excludes this, but the long-axis
+        # regime tb < 256 implies FAULTS the v5e at runtime (_fused_xT at
+        # n = 912 crashes even exactly divisible — see the _tiles comment),
+        # so never let a future budget change re-open it silently
+        return None
+    if dmT.shape != (n + 1, B) or lT.shape != (n, B):
+        return None
     out = _fused_xT(acc.reshape(B, n), v.reshape(B, n), dmT, lT,
-                    bx0, bx1, si, tb=t[0], interpret=interpret)
+                    bx0, bx1, si, tb=tb, interpret=interpret)
     return out.reshape(v.shape)
 
 

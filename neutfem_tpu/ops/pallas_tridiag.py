@@ -281,9 +281,13 @@ def thomas_solve(rhs, dinv, l, axis: int, interpret: bool = False):
     if rel == 2:
         # solve axis minor: merge EVERYTHING else into wide rows.  A bitcast iff
         # shape[-2] % 8 == 0; otherwise XLA pays one re-tiling copy — still far
-        # cheaper than narrow blocks (serial recurrence ~ 1/width).
+        # cheaper than narrow blocks (serial recurrence ~ 1/width).  tb floor is
+        # ONE lane tile (128): per recurrence step the VPU cost scales with tb,
+        # so a narrow tb only adds grid overhead — while declining costs the
+        # whole kernel (the old 256 floor silently dropped every fine 2D core
+        # mesh, n >= ~930, to the scan path — round 4).
         B = rhs.size // n
-        tb = _round_down(min(2048, _VMEM_BUDGET // (11 * _pad_up(n, 128) * itemsize)), 256)
+        tb = _round_down(min(2048, _VMEM_BUDGET // (11 * _pad_up(n, 128) * itemsize)), 128)
         if tb == 0:
             return None  # solve axis too long for the VMEM budget: scan path
         out = _solve_transpose(rhs.reshape(B, n), dinv_b.reshape(B, n),
@@ -300,17 +304,19 @@ def thomas_solve(rhs, dinv, l, axis: int, interpret: bool = False):
             out = _solve_rows(rhs.reshape(B, n, M), dinv_b.reshape(B, n, M),
                               l_b.reshape(B, n - 1, M), tz=tz, interpret=interpret)
             return out.reshape(shape)
-        # rows too wide for a full-M block: TRUE-4D blocks with a lane split
+        # rows too wide for a full-M block: TRUE-4D blocks with a lane split.
+        # The block's TILED dims are (n, tc), so a THIN leading axis (2D
+        # meshes: s0 == 1) is layout-efficient with ts == s0 — the old
+        # multiple-of-8 ts floor declined every 2D mesh here (round 4).
         s0, s1, s2 = shape[-3], shape[-2], shape[-1]
         B4 = rhs.size // (s0 * s1 * s2)
-        tc = _round_down(min(512, _VMEM_BUDGET // (8 * 8 * n * itemsize)), 128)
+        ts = 8 if s0 >= 8 else s0
+        tc = _round_down(min(512, _VMEM_BUDGET // (8 * ts * n * itemsize)), 128)
         if tc == 0:
             return None  # solve axis too long for the VMEM budget: scan path
         tc = min(tc, _pad_up(s2, 128))
-        ts = _round_down(min(8, _VMEM_BUDGET // (8 * n * tc * itemsize)), 8)
-        if ts == 0:
+        if _VMEM_BUDGET // (8 * n * tc * itemsize) < ts:
             return None
-        ts = min(ts, _pad_up(s0, 8))
         out = _solve_y(rhs.reshape(B4, s0, s1, s2), dinv_b.reshape(B4, s0, s1, s2),
                        l_b.reshape(B4, s0, s1 - 1, s2), ts=ts, tc=tc,
                        interpret=interpret)
@@ -322,13 +328,16 @@ def thomas_solve(rhs, dinv, l, axis: int, interpret: bool = False):
     r4 = rhs.reshape(B, s0, s1, s2)
     d4 = dinv_b.reshape(B, s0, s1, s2)
     l4 = l_b.reshape(B, s0 - 1, s1, s2)
-    tc = _round_down(min(512, _VMEM_BUDGET // (8 * 8 * n * itemsize)), 128)
+    # thin middle axis: ts == s1 < 8 engages, but UNLIKE the y branch the z
+    # block's tiled dims are (ts, tc), so VMEM holds the 8-padded sublanes —
+    # the footprint formula must use the PADDED ts
+    ts = 8 if s1 >= 8 else s1
+    ts_pad = _pad_up(ts, 8)
+    tc = _round_down(min(512, _VMEM_BUDGET // (8 * ts_pad * n * itemsize)), 128)
     if tc == 0:
         return None  # solve axis too long for the VMEM budget: scan path
     tc = min(tc, _pad_up(s2, 128))
-    ts = _round_down(min(8, _VMEM_BUDGET // (8 * n * tc * itemsize)), 8)
-    if ts == 0:
+    if _VMEM_BUDGET // (8 * n * tc * itemsize) < ts_pad:
         return None
-    ts = min(ts, _pad_up(s1, 8))
     out = _solve_z(r4, d4, l4, ts=ts, tc=tc, interpret=interpret)
     return out.reshape(shape)

@@ -276,3 +276,53 @@ def test_pinned_face_factors_are_zero(k, pin_kind):
             if f < n:
                 assert (l_f[f][..., sel] == 0.0).all(), (key, f, "l_f")
     assert pinned_dirs == 3  # every direction had at least one pinned face
+
+
+def test_fused_x_declines_long_axis_fault_regime(monkeypatch):
+    """Fine 2D core meshes (ZION 48x48 is (1, 912, 912)) put the minor solve
+    axis beyond the fused x kernels' hardware-validated envelope: a tb = 128
+    tile in that regime FAULTS the v5e at runtime (deterministically for a
+    ragged final row block, intermittently in-solve even padded + unaliased),
+    and the padded form loses to the unfused chain + thin-ts Thomas kernels
+    anyway (2.26 vs 1.79 s full ZION solve).  Pin the decline BOTH ways: the
+    gates must return None at these shapes (never re-open the fault regime),
+    and the production dispatch must still match the unfused reference through
+    the Thomas kernels (round 4)."""
+    from neutfem_tpu.ops.pallas_fused import _tiles, fused_fits
+
+    assert _tiles((1, 912, 912), jnp.float32, 2) is None    # ZION 48x48
+    assert _tiles((1, 1216, 1216), jnp.float32, 2) is None  # ZION 64x64
+    assert not fused_fits((1, 912, 912), jnp.float32, 2, interpret=True)
+    assert not fused_fits((1, 912, 912), jnp.float32, 1, interpret=True)
+    # the historical envelope stays engaged
+    assert _tiles((2, 152, 152, 114), jnp.float32, 2) is not None
+
+    ny, nx = 520, 897
+    rng = np.random.default_rng(7)
+    mesh = CartesianMesh.from_breaks(
+        np.concatenate([[0.0], np.cumsum(rng.uniform(0.8, 1.4, nx))]),
+        np.concatenate([[0.0], np.cumsum(rng.uniform(0.8, 1.4, ny))]),
+    )
+    fes = make_fespace(mesh, 0, 0)
+    ng = 1
+    xs = {
+        "D": rng.uniform(0.3, 2.0, (ng, *mesh.shape)),
+        "SigR": rng.uniform(0.01, 0.2, (ng, *mesh.shape)),
+        "NSF": np.zeros((ng, *mesh.shape)), "Chi": np.ones((ng, *mesh.shape)),
+        "SigS": np.zeros((ng, ng, *mesh.shape)), "SRC": np.zeros((ng, *mesh.shape)),
+    }
+    bcs = BCSpec()
+    for ax in (0, 1):
+        for upper in (False, True):
+            bcs.set(boundary_attribute(2, ax, upper), BCKind.DIRICHLET)
+    ctx = build_context(fes, ng, xs, bcs, a_mode="exact", dtype=DT)
+    v = phi_to_internal(jnp.asarray(rng.normal(size=(ng, *mesh.shape, fes.P)), DT))
+
+    assert _tiles(v.shape, DT, 2) is None  # dispatch-visible shape declines too
+    want = schur_matvec(fes, ctx, v, a_mode="exact", fused=False)
+    # production dispatch: fused x/y decline, the thin-ts/transpose Thomas
+    # kernels carry both directions through the unfused chain
+    monkeypatch.setenv("NEUTFEM_PALLAS_INTERPRET", "1")
+    got = schur_matvec(fes, ctx, v, a_mode="exact")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)

@@ -41,6 +41,10 @@ def _problem(shape, axis, seed=3):
         ((7, 90, 13), 2, "transpose"),      # M = 1: minor-axis solve
         ((3, 101, 257), 2, "transpose"),    # ragged B vs TB
         ((2, 250, 700), 1, "y4"),           # rows too wide for VMEM: 4D fallback
+        ((2, 700, 700), 1, "y4"),           # wide rows, s0 < 8: thin-ts 4D (round 4)
+        ((1, 913, 912), 1, "y4-thin"),      # fine 2D core mesh (ZION 48x48), y dir
+        ((1, 912, 913), 2, "transpose"),    # fine 2D core mesh, x dir: tb = 128
+        ((2, 40, 1, 640), 1, "z-thin"),     # thin middle axis on the z kernel
     ],
 )
 def test_thomas_matches_scan(shape, axis, kernel):
@@ -55,11 +59,16 @@ def test_thomas_matches_scan(shape, axis, kernel):
 def test_thomas_declines_overlong_solve_axis():
     """A solve axis so long that even the minimum tile busts the VMEM budget must
     DECLINE (None -> scan path), not clamp to the floor and fail at Mosaic
-    compile (round-2 ADVICE #1)."""
-    rhs, dinv, l = _problem([2, 700, 700], 1)
+    compile (round-2 ADVICE #1).  ((2, 700, 700) used to sit here: the round-4
+    thin-ts rule makes it engage efficiently — see test_thomas_matches_scan.)"""
+    # y: even (ts=1, tc=128) busts the 8 MiB budget once n > ~2000
+    rhs, dinv, l = _problem([1, 2300, 700], 1)
     assert thomas_solve(rhs, dinv, l, axis=1, interpret=True) is None
+    # x: minor solve axis beyond the tb=128 floor's reach (pad128(n) > ~1490)
+    rhs, dinv, l = _problem([1, 640, 1520], 2)
+    assert thomas_solve(rhs, dinv, l, axis=2, interpret=True) is None
     # the dispatcher must still produce the right answer via the scan path
-    got = tridiag_solve(rhs, dinv, l, axis=1)
+    got = tridiag_solve(rhs, dinv, l, axis=2)
     assert got.shape == rhs.shape
 
 
