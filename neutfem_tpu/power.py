@@ -239,6 +239,13 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0, tol=None)
             # line 29.50 ms/outer); at 3.5M the 17% inner savings win (line
             # 44.31 vs jacobi 45.86).  CG conditioning grows ~h^-1, so the
             # line preconditioner pays off only once meshes get fine enough.
+            # The cell-count rule was ALSO validated on fine 2D meshes (round
+            # 4): despite 544-912 cells/axis, line ties/loses there (KOEBERG
+            # 32x32 16.28 vs jacobi 16.43 ms/outer; ZION 48x48 53.9 vs 52.7;
+            # line2 loses outright) — the (1, ny, nx) Thomas apply costs ~+33%
+            # per inner against a 25% inner cut.  See CLAUDE.md "2D fine-mesh
+            # preconditioner adjudication" before changing this to a per-axis
+            # rule.
             pc_mode = "line" if fes.mesh.n_elements >= 3_000_000 else "jacobi"
     precond_dots = None
     tg_corr = None
