@@ -152,31 +152,37 @@ def main_full() -> None:
         print(json.dumps(row))
         rows.append(row)
 
-    # KOEBERG-2D 4-group row (round-3 VERDICT Next #6): the group sweep cost is
-    # quadratic in ng (4 groups + thermal upscatter back-coupling) and had no
-    # committed TPU timing.  mesh 32x32 per assembly = 544^2 = 295,936 cells.
-    kspec = BENCHMARKS["koeberg2d"]
-    run = BenchmarkRun(kspec, mesh_n=32, verbose=False)
-    run.solve(tol=(1e-5, 1e-4, 1e-4, 200, 1000))
-    run.solver.reset_flux()
-    t0 = time.time()
-    keff = run.solver.SolveKeff()
-    wall = time.time() - t0
-    outers = run.solver._last_outers
-    row = {
-        "metric": "koeberg2d_4group_seconds_per_outer_iteration",
-        "value": round(wall / max(outers, 1), 6), "unit": "s/outer",
-        "detail": {
-            "keff": round(keff, 7),
-            "pcm": round(1e5 * (1.0 / kspec.kref - 1.0 / keff), 2),
-            "n_cells": run.solver.GetNumElements(), "n_groups": 4,
-            "outer_iterations": outers,
-            "inner_iterations": run.solver._last_inners,
-            "solve_wall_s": round(wall, 3), "mesh": "32x32",
-        },
-    }
-    print(json.dumps(row))
-    rows.append(row)
+    # Fine-mesh 2D rows: KOEBERG 4-group 32x32 (round-3 VERDICT Next #6 — group
+    # sweep cost quadratic in ng + thermal upscatter; 544^2 = 295,936 cells) and
+    # ZION 48x48 (round-4 VERDICT Missing #1 — the most demanding 2D core,
+    # 912^2 = 831,744 cells, the mesh that motivated the round-4 fine-2D Thomas
+    # engagement fix; preconditioner = jacobi per the 2D adjudication).
+    for cname, metric, n2d in [
+        ("koeberg2d", "koeberg2d_4group_seconds_per_outer_iteration", 32),
+        ("zion2d", "zion2d_seconds_per_outer_iteration", 48),
+    ]:
+        kspec = BENCHMARKS[cname]
+        run = BenchmarkRun(kspec, mesh_n=n2d, verbose=False)
+        run.solve(tol=(1e-5, 1e-4, 1e-4, 200, 1000))
+        run.solver.reset_flux()
+        t0 = time.time()
+        keff = run.solver.SolveKeff()
+        wall = time.time() - t0
+        outers = run.solver._last_outers
+        row = {
+            "metric": metric,
+            "value": round(wall / max(outers, 1), 6), "unit": "s/outer",
+            "detail": {
+                "keff": round(keff, 7),
+                "pcm": round(1e5 * (1.0 / kspec.kref - 1.0 / keff), 2),
+                "n_cells": run.solver.GetNumElements(), "n_groups": kspec.ng,
+                "outer_iterations": outers,
+                "inner_iterations": run.solver._last_inners,
+                "solve_wall_s": round(wall, 3), "mesh": f"{n2d}x{n2d}",
+            },
+        }
+        print(json.dumps(row))
+        rows.append(row)
 
     # IAEA-3D FREE-RUNNING adjoint row (Next #6): SolveAdjoint is a first-class
     # solve path (transposed couplings, REVERSE group sweep) with no committed
@@ -229,6 +235,30 @@ def main_full() -> None:
             "why": "dense coarse inverse = 94 MB HBM read/apply at full bw; "
                    "cheby coarse matvec = ~100 tiny-kernel latency; adaptive "
                    "inner tolerance already caps inners at 31-47/outer",
+        },
+    })
+
+    # Sharded-path-on-real-hardware record (round-4 VERDICT Next #1a): STATIC
+    # measured constants (same-process A/B, 2026-08-20, /tmp/shard_tpu_ab.py
+    # pattern) — the headline IAEA-3D config through sharded_power_iteration on
+    # a 1-device jax.sharding.Mesh on the REAL chip.  Proves the shard_map-
+    # wrapped Pallas kernels compile and run under real Mosaic (not only the
+    # CPU dryrun's interpret mode) and prices the sharded code path itself:
+    # the cut direction's tridiag falls back to associative_scan and the
+    # pre-staged fused x/y operands are dropped under any sharding scope.
+    rows.append({
+        "metric": "sharded_1device_mesh_real_tpu",
+        "value": 6.591, "unit": "ms/outer (z-cut)",
+        "detail": {
+            "unsharded_ms_per_outer": 5.198,
+            "zcut_ms_per_outer": 6.591,   # +27%: z tridiag on scan path
+            "ycut_ms_per_outer": 12.515,  # +141%: y scan + x loses pre-staging
+            "keff_unsharded": 1.0291045, "keff_zcut": 1.0290954,
+            "keff_ycut": 1.0291045, "outers": 34, "mesh": "6x6x4",
+            "note": "k shift on the z-cut is 0.9 pcm (f32 + scan-tridiag "
+                    "reduction-order change), within tol_keff=1e-5; "
+                    "ICI traffic projection: see SHARDING_r05.json "
+                    "(benchmarks/ici_accounting.py)",
         },
     })
 

@@ -7,18 +7,13 @@ its five driver scripts print pcm vs the literature k_ref
 (/root/reference/tests/iaea2d/iaea2d.py:389-394 and siblings) — but asserts.
 
 Run: python -m benchmarks.validate_tpu
-Last recorded run (TPU v5e, 2026-08-18, adaptive inner tolerance default):
-  iaea2d    8x8     k=1.029572  -1.20 pcm   (sub-2-pcm, literature 1.029585)
-  biblis2d  8x8     k=1.025121  +1.05 pcm
-  koeberg2d 4x4     k=1.008170  +21.2 pcm   (4-group upscatter; 4x4 disc. level)
-  zion2d    4x4     k=1.275511  +38.0 pcm   (baffle geometry; 4x4 disc. level)
-  iaea3d    6x6x4   k=1.029104  +0.80 pcm   (988k cells; re-run standalone after
-                                             a transient worker fault ended the
-                                             5-config sweep — probe + re-run per
-                                             the measurement-hygiene notes)
-The 2D pcm values sit on each mesh's own discretization ladder (see
-tests/test_benchmarks.py for the measured refinement sequences); the bounds
-below are the test-suite bounds for the same configs.
+
+Round 5 lifts the 2D cores to their LADDER-FINE meshes (round-4 VERDICT Weak
+#5): the coarse 4x4 pins could not see a regression of the fine-2D Pallas
+engagement fix (128-lane tb floor / thin-ts, round 4), because the Thomas
+kernels only engage at the fine shapes.  Bounds sit just above the measured
+ladder values (PARITY_r04.json: biblis 32x32 +0.27, koeberg 32x32 +1.17,
+zion 48x48 +4.23 pcm) with margin for f32/worker noise.
 """
 import json
 import os
@@ -27,11 +22,11 @@ import time
 os.environ.setdefault("NEUTFEM_X64", "0")
 
 CASES = [
-    # (name, kwargs, |pcm| bound consistent with tests/test_benchmarks.py)
-    ("iaea2d", dict(mesh_n=8), 2.0),
-    ("biblis2d", dict(mesh_n=8), 4.0),
-    ("koeberg2d", dict(mesh_n=4), 40.0),
-    ("zion2d", dict(mesh_n=4), 130.0),
+    # (name, kwargs, |pcm| bound just above the measured ladder value + noise)
+    ("iaea2d", dict(mesh_n=32), 2.5),
+    ("biblis2d", dict(mesh_n=32), 2.0),
+    ("koeberg2d", dict(mesh_n=32), 3.0),
+    ("zion2d", dict(mesh_n=48), 6.0),
     ("iaea3d", dict(mesh_n=6, mesh_nz=4), 2.0),
 ]
 
