@@ -211,30 +211,49 @@ def main_full() -> None:
     print(json.dumps(row))
     rows.append(row)
 
-    # Two-grid Schur preconditioner adjudication record (round-4 VERDICT #3):
-    # STATIC measured constants, not re-measured each round (the tg build +
-    # compile costs ~8 min and the verdict is a rejection — both coarse-inverse
-    # forms lose at every scale; see neutfem_tpu/twogrid.py + CLAUDE.md).
-    # Same-process A/B on the real chip, tg context prebuilt outside the timed
-    # region, 2026-08-19 (/tmp/tg_ab2.py pattern).
+    # Two-grid Schur preconditioner adjudication record: STATIC measured
+    # constants (same-process A/B on the real chip, tg context prebuilt outside
+    # the timed region, cold flux per solve).  SPLIT VERDICT:
+    # * 3D (round 4, 2026-08-19): REJECTED — adaptive inner tolerance caps
+    #   inners at 31-47/outer, below any correction's cost.
+    # * 2D (round 5, 2026-08-20, the round-4 judge's re-adjudication order):
+    #   WINS OR TIES at every config (inners/outer run 100-330 there), so
+    #   "auto" now attaches it on 2D meshes >= 64k cells
+    #   (twogrid.auto_twogrid; /tmp/tg2d_ab.py pattern).
     rows.append({
         "metric": "twogrid_precond_adjudication",
-        "value": 0, "unit": "adjudicated-rejected",
+        "value": 0, "unit": "adjudicated-split",
         "detail": {
-            "verdict": "rejected: stays opt-in (NEUTFEM_PRECOND=twogrid)",
-            "ms_per_outer": {
+            "verdict_3d": "rejected (opt-in via NEUTFEM_PRECOND=twogrid)",
+            "verdict_2d": "adjudicated WINNER >= 64k cells: auto-attached",
+            "ms_per_outer_3d": {
                 "988k": {"baseline": 5.29, "tg_dense": 10.73, "tg_cheby": 97.0},
                 "2.6M": {"baseline": 14.26, "tg_dense": 33.11, "tg_cheby": 157.9},
                 "3.5M": {"baseline": 37.14, "tg_dense": 49.68, "tg_cheby": 157.6},
             },
-            "inners_per_outer": {
+            "inners_per_outer_3d": {
                 "988k": {"baseline": 31.4, "tg_dense": 24.1, "tg_cheby": 23.8},
                 "2.6M": {"baseline": 43.0, "tg_dense": 37.1, "tg_cheby": 22.4},
                 "3.5M": {"baseline": 39.4, "tg_dense": 42.3, "tg_cheby": 25.6},
             },
-            "why": "dense coarse inverse = 94 MB HBM read/apply at full bw; "
-                   "cheby coarse matvec = ~100 tiny-kernel latency; adaptive "
-                   "inner tolerance already caps inners at 31-47/outer",
+            "solve_wall_s_2d": {
+                "koeberg_16x16_74k_4g": {"jacobi": 1.363, "tg_dense": 0.608},
+                "koeberg_32x32_296k_4g": {"jacobi": 0.566, "tg_dense": 0.575},
+                "zion_32x32_370k": {"jacobi": 0.489, "tg_dense": 0.472},
+                "zion_48x48_832k": {"jacobi": 1.808, "tg_dense": 1.438},
+                "zion_64x64_1.8M": {"jacobi": 4.633, "tg_dense": 4.366},
+            },
+            "inners_per_outer_2d": {
+                "koeberg_16x16_74k_4g": {"jacobi": 105.8, "tg_dense": 44.1},
+                "koeberg_32x32_296k_4g": {"jacobi": 209.8, "tg_dense": 112.8},
+                "zion_32x32_370k": {"jacobi": 154.2, "tg_dense": 78.6},
+                "zion_48x48_832k": {"jacobi": 244.9, "tg_dense": 146.4},
+                "zion_64x64_1.8M": {"jacobi": 330.7, "tg_dense": 229.1},
+            },
+            "why": "the correction's worth is bounded by the inners it can "
+                   "remove: 31-47/outer in 3D (any realization costs more), "
+                   "100-330/outer on the 2D cores (the ~50% cut pays for the "
+                   "n_c^2 bf16 inverse read); outers also drop 34 -> 28-30",
         },
     })
 

@@ -385,8 +385,17 @@ class NeutFEM:
                 a_mode=a_mode, dtype=self._dtype, marshak_d_factor=True,
             )
         ctx = self._ctx_cache[a_mode]
-        if (os.environ.get("NEUTFEM_PRECOND") == "twogrid" and "tg" not in ctx
-                and a_mode == "exact"):
+        precond_env = os.environ.get("NEUTFEM_PRECOND", "auto")
+        want_tg = precond_env == "twogrid"
+        if not want_tg and precond_env == "auto" and self._fes.P == 1:
+            # measured-winner auto rule (round 5): attach the dense coarse
+            # correction on fine 2D meshes (>= ~600 cells/axis), where it cuts
+            # inners/outer ~40% and wins 20% of total wall at ZION 48x48;
+            # power.py resolves "auto" to twogrid iff the context carries it
+            from neutfem_tpu.twogrid import auto_twogrid
+
+            want_tg = auto_twogrid(self._fes.mesh)
+        if want_tg and "tg" not in ctx and a_mode == "exact":
             from neutfem_tpu.twogrid import DENSE_MAX_NC, attach_twogrid
 
             self._log(VerbosityLevel.VERBOSE, "Building two-grid coarse context")

@@ -230,7 +230,14 @@ def group_solve(fes: FESpace, ctxg: Dict, opts: SolveOptions, rhs, x0, tol=None)
     precond = None
     pc_mode = opts.inner_precond
     if pc_mode == "auto":
-        if fes.P > 1:
+        if fes.P == 1 and "tg" in ctxg:
+            # An attached coarse context under "auto" means the measured
+            # 2D-fine-mesh rule fired (twogrid.auto_twogrid via the compat
+            # layer, round 5: ZION 48x48 twogrid 47.9 vs jacobi 53.2 ms/outer
+            # AND fewer outers; 3D/coarse-2D never auto-attach).  Under
+            # sharding the branch below declines to the fine part.
+            pc_mode = "twogrid"
+        elif fes.P > 1:
             pc_mode = "block"
         else:
             # Crossover measured on the real chip (round 3, same-process

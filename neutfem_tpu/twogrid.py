@@ -91,8 +91,37 @@ import numpy as np
 from .fespace import FESpace, make_fespace
 from .mesh import CartesianMesh
 
-__all__ = ["attach_twogrid", "coarse_fespace", "twogrid_correction",
-           "default_tg_factors", "dense_tg_factors"]
+__all__ = ["attach_twogrid", "auto_twogrid", "coarse_fespace",
+           "twogrid_correction", "default_tg_factors", "dense_tg_factors"]
+
+#: measured 2D auto crossover (round 5, real chip, same-process interleaved
+#: A/B, tg context prebuilt outside the timed region, cold flux per solve):
+#: the dense correction wins or ties at EVERY 2D config measured, by total
+#: solve wall (jacobi -> twogrid, ratio):
+#:   KOEBERG 16x16  74k cells, 4g:  1.363 -> 0.608 s  (0.45; latency-bound
+#:                                  regime — the inner cut 105.8 -> 44.1
+#:                                  directly cuts small-kernel launch time)
+#:   KOEBERG 32x32 296k cells, 4g:  0.566 -> 0.575 s  (1.02, the only loss:
+#:                                  fine inners are cheap at 544^2 and the 4624^2
+#:                                  bf16 inverse read eats the 209.8 -> 112.8 cut)
+#:   ZION   32x32  370k cells, 2g:  0.489 -> 0.472 s  (0.96)
+#:   ZION   48x48  832k cells, 2g:  1.808 -> 1.438 s  (0.80)
+#:   ZION   64x64  1.8M cells, 2g:  4.633 -> 4.366 s  (0.94)
+#: with outers consistently 34 -> 28-30 and k shifts < 1 pcm (f32 level).
+#: 3D stays rejected (round-4 adjudication: Chebyshev outers + adaptive inner
+#: tolerance cap inners at 31-47/outer there, below any correction's cost —
+#: the 2D cores run 100-330 inners/outer, which is where the win lives).
+AUTO_TG_MIN_CELLS = 65536
+
+
+def auto_twogrid(mesh: "CartesianMesh") -> bool:
+    """True when the auto preconditioner rule wants the dense two-grid
+    correction attached: 2D meshes of >= ~64k cells with a dense-affordable
+    coarsening (measured winners' envelope above; below it solves are
+    sub-second and unmeasured, 3D is a measured loss).  The compat layer calls
+    this; core users attach explicitly via attach_twogrid."""
+    return (mesh.dim <= 2 and mesh.n_elements >= AUTO_TG_MIN_CELLS
+            and dense_tg_factors(mesh, DENSE_MAX_NC) != (1, 1, 1))
 
 
 def default_tg_factors(mesh: CartesianMesh, max_factor: int = 4) -> Tuple[int, int, int]:

@@ -170,3 +170,68 @@ def test_jacobi_sweep_batched_correction():
     opts = dataclasses.replace(base, inner_precond="twogrid", tg_degree=6)
     res_t = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
     assert float(res_t["keff"]) == pytest.approx(float(res_j["keff"]), abs=2e-7)
+
+
+def test_auto_twogrid_rule():
+    """The measured-winner auto rule (round 5): 2D >= ~64k cells with a
+    dense-affordable coarsening."""
+    from neutfem_tpu.twogrid import AUTO_TG_MIN_CELLS, auto_twogrid
+
+    fine2d = CartesianMesh.from_breaks(np.linspace(0, 1, 513),
+                                       np.linspace(0, 1, 129))   # 65536 cells
+    coarse2d = CartesianMesh.from_breaks(np.linspace(0, 1, 101),
+                                         np.linspace(0, 1, 101))
+    fine3d = CartesianMesh.from_breaks(np.linspace(0, 1, 513),
+                                       np.linspace(0, 1, 129),
+                                       np.linspace(0, 1, 3))
+    prime2d = CartesianMesh.from_breaks(np.linspace(0, 1, 258),
+                                        np.linspace(0, 1, 258))  # 257x257
+    assert fine2d.n_elements == AUTO_TG_MIN_CELLS and auto_twogrid(fine2d)
+    assert not auto_twogrid(coarse2d)     # below the cell threshold
+    assert not auto_twogrid(fine3d)       # 3D: measured loss
+    assert not auto_twogrid(prime2d)      # no dense-affordable coarsening
+
+
+def test_auto_resolves_to_twogrid_when_attached():
+    """inner_precond='auto' + attached coarse context -> the correction runs
+    (fewer inners than the jacobi resolution of the same auto opts)."""
+    mesh, fes, ng, xs, bcs, ctx = build_problem(nx=48, ny=40)
+    phi0 = jnp.ones((ng, *mesh.shape, fes.P), DT)
+    opts = SolveOptions(tol_keff=1e-8, tol_flux=1e-7, inner_tol=1e-8,
+                        max_outer=100, inner_precond="auto")
+    res_j = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
+    attach_twogrid(fes, ng, xs, bcs, ctx, factors=(4, 4, 1), dtype=DT)
+    res_t = power_iteration(fes, ng, opts, ctx, phi0, 1.0)
+    assert float(res_t["keff"]) == pytest.approx(float(res_j["keff"]), abs=2e-7)
+    assert int(res_t["inner_iterations"]) < int(res_j["inner_iterations"])
+
+
+def test_compat_layer_auto_attaches_on_fine_2d(monkeypatch):
+    """The compat layer attaches the dense coarse context when the auto rule
+    fires (threshold lowered for test cost), and the solve matches a forced
+    jacobi solve."""
+    import neutfem_tpu.twogrid as tg
+    from neutfem import BCType, NeutFEM, VerbosityLevel
+
+    monkeypatch.delenv("NEUTFEM_PRECOND", raising=False)
+    monkeypatch.setattr(tg, "AUTO_TG_MIN_CELLS", 1000)
+    nx, ny = 64, 32
+    s = NeutFEM(0, 2, np.linspace(0.0, 2.0 * nx, nx + 1),
+                np.linspace(0.0, 2.0 * ny, ny + 1), np.array([0.0]))
+    s.set_verbosity(VerbosityLevel.SILENT)
+    for attr in range(1, 5):
+        s.set_bc(attr, BCType.DIRICHLET, 0.0)
+    D = s.get_D(); D[0], D[1] = 1.4, 0.4
+    s.get_SigR()[0], s.get_SigR()[1] = 0.03, 0.10
+    s.get_NSF()[0], s.get_NSF()[1] = 0.005, 0.135
+    s.get_Chi()[0], s.get_Chi()[1] = 1.0, 0.0
+    s.get_SigS()[1, 0] = 0.02
+    s.BuildMatrices()
+    s.set_tol(1e-7, 1e-6, 1e-6, 200, 1000)
+    k_auto = s.SolveKeff()
+    assert "tg" in s._ctx_cache["exact"], "auto rule did not attach tg"
+
+    monkeypatch.setenv("NEUTFEM_PRECOND", "jacobi")
+    s.reset_flux()
+    k_j = s.SolveKeff()
+    assert abs(k_auto - k_j) < 5e-7
