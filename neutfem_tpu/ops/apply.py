@@ -168,6 +168,7 @@ def solve_A_dir(
     rW,
     a_mode: str,
     cyc=None,
+    part=None,
 ):
     """Exact solve of the per-direction RT mass block A_d J = r.
 
@@ -217,6 +218,16 @@ def solve_A_dir(
 
     def _line_solve(r, axn):
         if force_scan:
+            mesh, axis_map = sh
+            if part is not None and cyc is None and len(axis_map) == 1:
+                # partitioned (substructured) solve: local Pallas Thomas per
+                # shard + one small interface all_gather — replaces the
+                # GSPMD-partitioned scan whose log-stride permutes moved ~8
+                # flux arrays per application (SHARDING_r05.json)
+                from .parttri import tridiag_solve_partitioned
+
+                return tridiag_solve_partitioned(r, part, axn, mesh,
+                                                 axis_map[di.axis])
             from .tridiag import _scan_solve
 
             n = r.shape[axn]
@@ -287,6 +298,16 @@ def cyc_args(ctx: Dict, key: str):
         return None
     return (wt, ctx[f"cyc_a0_{key}"], ctx[f"cyc_a1_{key}"])
 
+
+def part_args(ctx: Dict, key: str):
+    """Partitioned cut-axis solve bundle (parallel.shard_context attaches it
+    for the direction along a 1D mesh cut), or None."""
+    if f"tri_part_dinv_{key}" not in ctx:
+        return None
+    from .parttri import PART_NAMES
+
+    return {n: ctx[f"tri_part_{n}_{key}"] for n in PART_NAMES}
+
 def solve_A(fes: FESpace, ctx: Dict, rhs_by_dir, a_mode: str):
     """Apply A^{-1} to per-direction rhs dict {f"d{d}": (rF, rW)} -> same structure."""
     out = {}
@@ -304,6 +325,7 @@ def solve_A(fes: FESpace, ctx: Dict, rhs_by_dir, a_mode: str):
             rW,
             a_mode,
             cyc=cyc_args(ctx, key),
+            part=part_args(ctx, key),
         )
         out[key] = (F, W)
     return out
@@ -665,6 +687,7 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
                 ctx[f"alpha_{key}"],
                 rF, None, a_mode,
                 cyc=cyc_args(ctx, key),
+                part=part_args(ctx, key),
             )
             out = out + _face_out(di, F, BXc)
             alpha_e = jnp.expand_dims(ctx[f"alpha_{key}"], -4)
@@ -738,6 +761,7 @@ def schur_matvec(fes: FESpace, ctx: Dict, v, a_mode: str, fused: bool = True):
             rW,
             a_mode,
             cyc=cyc_args(ctx, key),
+            part=part_args(ctx, key),
         )
         out = out + apply_B_dir(fes, di, F, W)
     return out

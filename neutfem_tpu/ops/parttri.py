@@ -1,0 +1,263 @@
+"""Partitioned (substructured) tridiagonal solve for the CUT direction under
+spatial sharding.
+
+Round-5 motivation (SHARDING_r05.json): the cut-axis A-solve previously ran as
+a GSPMD-partitioned ``associative_scan``, whose log-stride cross-shard steps
+move ~8x a flux array of collective-permute traffic PER CG ITERATION (z8 cut
+at 3.5M cells: 118.7 MB/inner vs the 14.05 MB flux array) — projected ICI time
+alone exceeded the whole single-chip solve.  This module replaces it with the
+classic partition method (Wang-style substructuring), TPU-shaped:
+
+* Each device owns a contiguous SEGMENT of every mesh line along the cut axis
+  and runs the existing Pallas Thomas kernel on its local block — the cut
+  direction gets the fast kernel back (it used to be scan-only even locally).
+* The removed inter-segment couplings form a rank-2p Woodbury correction
+      T = T_hat + U V^T,   x = y - T_hat^{-1} U M^{-1} V^T y,   y = T_hat^{-1} d
+  whose ingredients are SOLVE-CONSTANT: the per-segment LDL^T factors, the
+  coupling-scaled unit-load solutions T_hat^{-1} e_first / e_last, and the
+  inverse of the (2p x 2p per line) interface matrix M = I + V^T T_hat^{-1} U
+  are all precomputed ON HOST at ``parallel.shard_context`` time
+  (``build_partitioned``) and shipped as context arrays.
+* Per application the ONLY communication is one ``all_gather`` of each
+  segment's first/last solution planes (2 planes per device, ~20-60x fewer
+  bytes than the scan path); the tiny interface solve is computed redundantly
+  on every device (replicated-compute beats a second collective).
+
+Face grids have n+1 entries for n cells: the body (faces 0..n-1, evenly
+sharded) carries p segments and the replicated seam face n is treated as a
+(p+1)-th segment of size 1, so the interface count is p and M is 2p x 2p.
+
+Scope: a_mode="exact", non-PERIODIC directions, 1D device meshes (a 2D mesh
+falls back to the scan path as before).  Pinned (MIRROR/Dirichlet-masked)
+faces need no special casing: the context factors them with diag 1 / coupling
+0, so reconstruction of (a, b) from the global (dinv, l) is exact and a pinned
+shard boundary simply yields an inert interface row in M.
+
+Reference lineage: the reference ships a dead serial ThomasSolver
+(/root/reference/src/solvers.cpp:940-989) and no parallelism at all (SURVEY
+§2.6); this is the TPU-native distributed answer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+__all__ = ["build_partitioned", "tridiag_solve_partitioned", "PART_NAMES"]
+
+PART_NAMES = ("dinv", "l", "vrs", "vls", "minv", "seamd", "seamc")
+
+
+def _ldlt_np(a: np.ndarray, b: np.ndarray):
+    """Batched LDL^T of SPD tridiagonals along the LAST axis (host, tiny s)."""
+    d = [a[..., 0]]
+    ls = []
+    for i in range(b.shape[-1]):
+        li = b[..., i] / d[-1]
+        ls.append(li)
+        d.append(a[..., i + 1] - b[..., i] * li)
+    dinv = 1.0 / np.stack(d, axis=-1)
+    l = (np.stack(ls, axis=-1) if ls
+         else np.zeros(a.shape[:-1] + (0,), a.dtype))
+    return dinv, l
+
+
+def _solve_np(dinv: np.ndarray, l: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Batched LDL^T solve along the LAST axis (host)."""
+    s = r.shape[-1]
+    z = [r[..., 0]]
+    for i in range(1, s):
+        z.append(r[..., i] - l[..., i - 1] * z[-1])
+    w = [zi * dinv[..., i] for i, zi in enumerate(z)]
+    x = [None] * s
+    x[-1] = w[-1]
+    for i in range(s - 2, -1, -1):
+        x[i] = w[i] - l[..., i] * x[i + 1]
+    return np.stack(x, axis=-1)
+
+
+def build_partitioned(dinv, l, fax: int, p: int) -> Optional[Dict[str, np.ndarray]]:
+    """Host-side constants for the partitioned solve of one direction.
+
+    dinv, l: the GLOBAL LDL^T factors from the context (any leading batch dims;
+    the face axis is ``fax``), m = n+1 faces with the body n divisible by p.
+    Returns {name: array} with the face axis back at ``fax`` for body-shaped
+    arrays, or None when the direction does not partition (n % p != 0, or
+    fewer than 2 faces per segment).
+    """
+    dinv = np.asarray(dinv, np.float64)
+    l = np.asarray(l, np.float64)
+    m = dinv.shape[fax]
+    n = m - 1
+    if n % p or n // p < 2:
+        return None
+    s = n // p
+
+    dv = np.moveaxis(dinv, fax, -1)  # (..., m)
+    lv = np.moveaxis(l, fax, -1)     # (..., n)
+
+    # reconstruct the original tridiagonal (a, b) — exact: pinned faces are
+    # factored with diag 1 / coupling 0 in the context, so no zero pivots
+    d = 1.0 / dv
+    b = lv * d[..., :-1]
+    a = d.copy()
+    a[..., 1:] += b * lv
+
+    batch = a.shape[:-1]
+    a_seg = a[..., :n].reshape(*batch, p, s)
+    b_all = b.reshape(*batch, p, s)          # last entry of each row = interface
+    b_int = b_all[..., : s - 1]              # internal couplings
+    b_ifc = b_all[..., s - 1]                # (..., p) right-interface coupling
+
+    dinv_loc, l_loc = _ldlt_np(a_seg, b_int)             # (..., p, s) / (..., p, s-1)
+
+    eye0 = np.zeros(a_seg.shape, a.dtype)
+    eye0[..., 0] = 1.0
+    eyeL = np.zeros(a_seg.shape, a.dtype)
+    eyeL[..., -1] = 1.0
+    vL = _solve_np(dinv_loc, l_loc, eye0)                # T_k^-1 e_first
+    vR = _solve_np(dinv_loc, l_loc, eyeL)                # T_k^-1 e_last
+
+    # coupling-scaled correction vectors (zero left coupling for segment 0)
+    vrs = b_ifc[..., None] * vR
+    b_left = np.concatenate(
+        [np.zeros_like(b_ifc[..., :1]), b_ifc[..., :-1]], axis=-1)
+    vls = b_left[..., None] * vL
+
+    a_seam = a[..., n]
+    seamd = 1.0 / a_seam                                  # (...,)
+    seamc = b[..., n - 1] * seamd                         # b_{n-1} / a_n
+
+    # interface matrix M = I + V^T T_hat^{-1} U  (2p x 2p per line)
+    M = np.zeros(batch + (2 * p, 2 * p), a.dtype)
+    idx = np.arange(2 * p)
+    M[..., idx, idx] = 1.0
+    for i in range(p):
+        # column 2i: support segment i, vector vrs[..., i, :]
+        M[..., 2 * i + 1, 2 * i] += vrs[..., i, s - 1]
+        if i >= 1:
+            M[..., 2 * (i - 1), 2 * i] += vrs[..., i, 0]
+        # column 2i+1: support segment i+1 (or the seam for i = p-1)
+        if i < p - 1:
+            w0 = vls[..., i + 1, 0]
+            wl = vls[..., i + 1, s - 1]
+            M[..., 2 * i, 2 * i + 1] += w0
+            M[..., 2 * (i + 1) + 1, 2 * i + 1] += wl
+        else:
+            M[..., 2 * (p - 1), 2 * (p - 1) + 1] += seamc
+    minv = np.linalg.inv(M)
+
+    def back(x):  # (..., p, s) -> body layout with face axis at fax
+        return np.moveaxis(x.reshape(*batch, n), -1, fax)
+
+    l_pad = np.concatenate(
+        [l_loc, np.zeros(batch + (p, 1), a.dtype)], axis=-1)  # dummy 0 per segment
+
+    return {
+        "dinv": back(dinv_loc),
+        "l": back(l_pad),
+        "vrs": back(vrs),
+        "vls": back(vls),
+        "minv": minv,                  # (batch_without_fax..., 2p, 2p)
+        "seamd": np.expand_dims(seamd, fax),
+        "seamc": np.expand_dims(seamc, fax),
+    }
+
+
+def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str):
+    """Solve T x = rhs along ``axis`` (n+1 faces) with the partitioned
+    constants from ``build_partitioned``, under a 1D device mesh cutting
+    ``axis``.  rhs may carry leading batch/mode axes; part arrays broadcast.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax, shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .tridiag import _local_solve
+
+    axis = axis % rhs.ndim
+    m = rhs.shape[axis]
+    n = m - 1
+    p = mesh.devices.size
+    s = n // p
+    two_p = 2 * p
+
+    body = lax.slice_in_dim(rhs, 0, n, axis=axis)
+    seam = lax.slice_in_dim(rhs, n, m, axis=axis)
+
+    def pad_before(x, extra, keep_last):
+        """Insert `extra` unit axes before the last `keep_last` dims — aligns
+        the T/mode axes of rhs (which sit just before the spatial dims)."""
+        sh_ = x.shape
+        return x.reshape(sh_[: len(sh_) - keep_last] + (1,) * extra
+                         + sh_[len(sh_) - keep_last:])
+
+    # align part arrays against rhs rank (they lack the T/mode axes, which
+    # sit immediately before the trailing 3 spatial dims)
+    dv = jnp.asarray(part["dinv"], rhs.dtype)
+    lv = jnp.asarray(part["l"], rhs.dtype)
+    vrs = jnp.asarray(part["vrs"], rhs.dtype)
+    vls = jnp.asarray(part["vls"], rhs.dtype)
+    sd = jnp.asarray(part["seamd"], rhs.dtype)
+    sc = jnp.asarray(part["seamc"], rhs.dtype)
+    minv = jnp.asarray(part["minv"], rhs.dtype)
+    extra = rhs.ndim - dv.ndim
+    dv, lv, vrs, vls, sd, sc = (pad_before(x, extra, 3)
+                                for x in (dv, lv, vrs, vls, sd, sc))
+    # minv: (batch..., l1, l2, 2p, 2p) — pad before its last 4 dims
+    minv = pad_before(minv, (rhs.ndim + 1) - minv.ndim, 4)
+
+    spec_cut = P(*[axis_name if d == axis else None for d in range(rhs.ndim)])
+    spec_rep = P(*([None] * rhs.ndim))
+    spec_minv = P(*([None] * minv.ndim))
+
+    def local(rb, rs, dvl, lvl, vrl, vll, sdl, scl, mvl):
+        k = lax.axis_index(axis_name)
+        dv_b = jnp.broadcast_to(dvl, rb.shape)
+        lv_b = jnp.broadcast_to(lvl, rb.shape)
+        l_b = lax.slice_in_dim(lv_b, 0, s - 1, axis=axis)
+        y = _local_solve(rb, dv_b, l_b, axis)
+        y_n = rs * sdl                                   # replicated seam solve
+
+        yf = lax.index_in_dim(y, 0, axis=axis, keepdims=False)
+        yl = lax.index_in_dim(y, s - 1, axis=axis, keepdims=False)
+        g_f = lax.all_gather(yf, axis_name)              # (p, ...)
+        g_l = lax.all_gather(yl, axis_name)
+        y_n_sq = lax.index_in_dim(y_n, 0, axis=axis, keepdims=False)
+
+        rows = []
+        for i in range(p):
+            rows.append(g_f[i + 1] if i < p - 1 else y_n_sq)   # V^T y row 2i
+            rows.append(g_l[i])                                # row 2i+1
+        vty = jnp.stack(rows, axis=0)                    # (2p, ..., ly, lx)
+
+        # alpha_j = sum_i minv[..., j, i] * vty_i ; minv line dims are the
+        # trailing spatial dims of the axis-removed arrays
+        alpha = jnp.einsum("...ji,i...->j...", mvl, vty)
+
+        a_r = lax.dynamic_index_in_dim(alpha, 2 * k, 0, keepdims=False)
+        a_l = lax.dynamic_index_in_dim(alpha, jnp.maximum(2 * k - 1, 0), 0,
+                                       keepdims=False)
+        x = (y - jnp.expand_dims(a_r, axis) * jnp.broadcast_to(vrl, y.shape)
+             - jnp.expand_dims(a_l, axis) * jnp.broadcast_to(vll, y.shape))
+        x_seam = y_n - jnp.expand_dims(alpha[two_p - 1], axis) * scl
+        return x, x_seam
+
+    xb, xs = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_cut, spec_rep, spec_cut, spec_cut, spec_cut, spec_cut,
+                  spec_rep, spec_rep, spec_minv),
+        out_specs=(spec_cut, spec_rep),
+        check_vma=False,
+    )(body, seam, dv, lv, vrs, vls, sd, sc, minv)
+    # Residual cost, measured and understood (SHARDING_r05.json): the n+1-face
+    # rhs/solution arrays live in GSPMD's canonical uneven (ceil) sharding,
+    # while the shard_map segmentation is body-even + replicated seam — the
+    # slice in and concat out each reshard ~half a face array per application
+    # (the interface all_gather proper is only ~2p planes).  Eliminating it
+    # means carrying body/seam-split face arrays through the whole sharded
+    # matvec (the context already stores constants that way) — identified as
+    # the next lever, not built this round.
+    return jnp.concatenate([xb, xs], axis=axis)

@@ -27,6 +27,7 @@ fast Thomas kernels on 2 of 3 directions (3 of 3 on the unsharded single chip).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax
@@ -116,12 +117,45 @@ def shard_context(ctx: Dict, mesh: Mesh, fes: FESpace, grid_axis: GridAxes = 1) 
     amap = _axis_map(mesh, grid_axis)
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     cut_axes = {f"d{di.d}": di.axis for di in fes.dirs if di.axis in amap}
+
+    ctx = dict(ctx)
+    if (len(amap) == 1
+            and os.environ.get("NEUTFEM_PARTTRI", "1") != "0"):
+        # Partitioned cut-axis solve constants (ops/parttri.py): per-segment
+        # LDL^T factors, coupling-scaled unit-load solutions and the inverted
+        # interface matrix, so the cut direction's A-solve runs as local
+        # Pallas Thomas + ONE small all_gather instead of the cross-shard
+        # associative scan (~20-60x fewer collective bytes per application —
+        # SHARDING_r05.json).  Host-side, once per sharding.
+        from .ops.parttri import build_partitioned
+
+        ndev = mesh.devices.size
+        for di in fes.dirs:
+            if di.axis not in amap:
+                continue
+            key = f"d{di.d}"
+            dinv = ctx.get(f"tri_dinv_{key}")
+            lfac = ctx.get(f"tri_l_{key}")
+            if dinv is None or lfac is None or f"cyc_wt_{key}" in ctx:
+                continue
+            fax = np.ndim(dinv) - 3 + di.axis
+            bundle = build_partitioned(np.asarray(dinv), np.asarray(lfac),
+                                       fax, ndev)
+            if bundle is not None:
+                for nm2, arr in bundle.items():
+                    ctx[f"tri_part_{nm2}_{key}"] = arr
+
     out = {}
     for k, v in ctx.items():
         if isinstance(v, dict):
             continue  # nested sub-contexts (two-grid "tg") decline under sharding
         if k.startswith(_XT_PREFIXES):
             continue  # single-device-only fused-x operands
+        if k.startswith("tri_part_minv_"):
+            # interface-matrix inverse: trailing dims are (2p, 2p), NOT
+            # spatial — _spec_for would mis-shard them; replicate (small)
+            out[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, P()))
+            continue
         dkey = k.rsplit("_", 1)[-1]
         shape = np.shape(v)
         if dkey in cut_axes and k.startswith(_FUSED_PREFIXES):

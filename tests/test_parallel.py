@@ -112,9 +112,23 @@ def test_shard_context_memory_scales(problem):
         per_dev = max(shards.values())
         assert per_dev <= body.nbytes // 8 + 1024, (name, per_dev, body.nbytes)
 
+    # partitioned cut-axis solve constants (round 5): bodies sharded, the
+    # (2p x 2p per line) interface inverse replicated (at scale it is ~1 flux
+    # array vs the ~40-array context, and every device computes every line's
+    # interface solve redundantly — replicated-compute beats a collective)
+    for name in ("tri_part_dinv_d1", "tri_part_vrs_d1", "tri_part_vls_d1"):
+        assert name in ctx_sh, name
+        shards = {s.device: s.data.nbytes
+                  for s in ctx_sh[name].addressable_shards}
+        assert len(shards) == 8, name
+    assert "tri_part_minv_d1" in ctx_sh
+
     # global accounting: per-device bytes of the big arrays ~ total/8
+    # (tri_part_* excluded: minv is deliberately replicated, see above —
+    # on this tiny problem it is large RELATIVE to the context)
     big = {k: v for k, v in ctx_sh.items()
-           if v.nbytes >= ctx["C"].nbytes // 4 and not k.endswith("__seam")}
+           if v.nbytes >= ctx["C"].nbytes // 4 and not k.endswith("__seam")
+           and not k.startswith("tri_part_")}
     assert big, "accounting found no large arrays"
     total = sum(v.nbytes for v in big.values())
     per_dev = 0
