@@ -18,6 +18,14 @@ import os
 
 import jax
 
+# Platform override (e.g. NEUTFEM_PLATFORM=cpu): the axon sitecustomize selects
+# the TPU backend even with JAX_PLATFORMS=cpu in the env (CLAUDE.md trap), so a
+# config-level update before backend init is the only reliable way to force a
+# platform in subprocesses (benchmarks/coldstart.py smoke tests, CI-style runs).
+_plat = os.environ.get("NEUTFEM_PLATFORM", "")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+
 _X64 = os.environ.get("NEUTFEM_X64", "1") not in ("0", "false", "False")
 
 if _X64:
