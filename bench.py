@@ -258,24 +258,27 @@ def main_full() -> None:
     })
 
     # Sharded-path-on-real-hardware record (round-4 VERDICT Next #1a): STATIC
-    # measured constants (same-process A/B, 2026-08-20, /tmp/shard_tpu_ab.py
+    # measured constants (same-process A/B, 2026-08-20, /tmp/shard_ab2.py
     # pattern) — the headline IAEA-3D config through sharded_power_iteration on
     # a 1-device jax.sharding.Mesh on the REAL chip.  Proves the shard_map-
-    # wrapped Pallas kernels compile and run under real Mosaic (not only the
-    # CPU dryrun's interpret mode) and prices the sharded code path itself:
-    # the cut direction's tridiag falls back to associative_scan and the
-    # pre-staged fused x/y operands are dropped under any sharding scope.
+    # wrapped Pallas kernels (incl. the partitioned cut-axis tridiag's local
+    # Thomas, ops/parttri.py) compile and run under real Mosaic (not only the
+    # CPU dryrun's interpret mode) and prices the sharded code path itself.
+    # Pre-parttri (associative-scan cut axis): z-cut 6.59 (+27%), y-cut 12.52
+    # (+141%); post-parttri the cut direction gets the Pallas kernel back:
     rows.append({
         "metric": "sharded_1device_mesh_real_tpu",
-        "value": 6.591, "unit": "ms/outer (z-cut)",
+        "value": 6.391, "unit": "ms/outer (z-cut)",
         "detail": {
-            "unsharded_ms_per_outer": 5.198,
-            "zcut_ms_per_outer": 6.591,   # +27%: z tridiag on scan path
-            "ycut_ms_per_outer": 12.515,  # +141%: y scan + x loses pre-staging
-            "keff_unsharded": 1.0291045, "keff_zcut": 1.0290954,
-            "keff_ycut": 1.0291045, "outers": 34, "mesh": "6x6x4",
-            "note": "k shift on the z-cut is 0.9 pcm (f32 + scan-tridiag "
-                    "reduction-order change), within tol_keff=1e-5; "
+            "unsharded_ms_per_outer": 5.318,
+            "zcut_ms_per_outer": 6.391,   # +20% (was +27% on the scan path)
+            "ycut_ms_per_outer": 8.724,   # +64% (was +141%): y partitioned
+            "keff_unsharded": 1.0291045, "keff_zcut": 1.0290965,
+            "keff_ycut": 1.0291052, "outers": 34, "mesh": "6x6x4",
+            "note": "k shift on the z-cut is 0.8 pcm (f32 + partitioned-solve "
+                    "reduction-order change), within tol_keff=1e-5; residual "
+                    "overhead = uneven(ceil)-vs-even face resharding at the "
+                    "shard_map boundary + dropped pre-staged fused operands; "
                     "ICI traffic projection: see SHARDING_r05.json "
                     "(benchmarks/ici_accounting.py)",
         },

@@ -169,6 +169,26 @@ def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str):
     """Solve T x = rhs along ``axis`` (n+1 faces) with the partitioned
     constants from ``build_partitioned``, under a 1D device mesh cutting
     ``axis``.  rhs may carry leading batch/mode axes; part arrays broadcast.
+
+    Layout contract (the round-5 reshard fix): the m = n+1 face array enters
+    and leaves in GSPMD's canonical CEIL sharding (sw = ceil(m/p) faces per
+    shard), while the partition-method segmentation is body-even (sb = n/p
+    cells per shard) + one replicated seam face.  The first implementation
+    did the ceil<->even conversion with jnp-level slice/concat OUTSIDE the
+    shard_map and GSPMD lowered it as a FULL all-gather of the solution per
+    application (+ an equivalent resharding of the rhs) — 6 all-gathers,
+    ~31 of 38.4 MB/inner at 3.5M z8, the dominant depth-2 term of the first
+    SHARDING_r05 accounting; a with_sharding_constraint on the concat does
+    not help (GSPMD still implements the unaligned reshard as all-gather +
+    dynamic-slice).  Both conversions are therefore done INSIDE the
+    shard_map with bounded ppermute block-hops: each shard receives whole
+    local blocks from <= dmax neighbors (dmax = ceil((p-1)/sw) on entry,
+    analogous on exit — 1 hop at the benchmark scales), then takes a
+    dynamic slice at its statically-bounded offset.  Wire cost per hop is
+    one LOCAL block per link (~1/p of the array), vs the full array per
+    all-gather.  Entry pad m -> p*sw and exit slice back to m are
+    boundary-aligned with the ceil sharding (identical shard windows), so
+    GSPMD lowers them collective-free.
     """
     import jax
     import jax.numpy as jnp
@@ -184,8 +204,18 @@ def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str):
     s = n // p
     two_p = 2 * p
 
-    body = lax.slice_in_dim(rhs, 0, n, axis=axis)
-    seam = lax.slice_in_dim(rhs, n, m, axis=axis)
+    sw = -(-m // p)                      # ceil faces/shard (= s + 1: m = p*s+1)
+    m_pad = p * sw
+    # static realignment geometry (python ints; k-dependent offsets are traced)
+    dmax_in = max(k - (s * k) // sw for k in range(p))
+    need_w = max(min(sw * k + sw, n) - s * k
+                 for k in range(p) if sw * k < n)
+    dmax_out = max(0, -(-need_w // s) - 1)
+    j_seam, loc_seam = divmod(n, sw)
+
+    pad_cfg = [(0, 0)] * rhs.ndim
+    pad_cfg[axis] = (0, m_pad - m)
+    rhs_pad = jnp.pad(rhs, pad_cfg)
 
     def pad_before(x, extra, keep_last):
         """Insert `extra` unit axes before the last `keep_last` dims — aligns
@@ -213,8 +243,23 @@ def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str):
     spec_rep = P(*([None] * rhs.ndim))
     spec_minv = P(*([None] * minv.ndim))
 
-    def local(rb, rs, dvl, lvl, vrl, vll, sdl, scl, mvl):
+    def local(rl, dvl, lvl, vrl, vll, sdl, scl, mvl):
         k = lax.axis_index(axis_name)
+
+        # ceil -> body-even: bounded leftward block hops, then dynamic slice.
+        # Shards k < d receive zeros from the partial permute; the slice
+        # offset sw*dmax_in - k*(sw-s) never reaches those rows.
+        blocks = [lax.ppermute(rl, axis_name, [(j, j + d) for j in range(p - d)])
+                  for d in range(dmax_in, 0, -1)]
+        blocks.append(rl)
+        win = jnp.concatenate(blocks, axis=axis) if len(blocks) > 1 else rl
+        off_in = sw * dmax_in + (s - sw) * k
+        rb = lax.dynamic_slice_in_dim(win, off_in, s, axis=axis)
+
+        # replicated seam face (global row n, shard j_seam local row loc_seam)
+        cand = lax.index_in_dim(rl, loc_seam, axis=axis, keepdims=False)
+        rs = jnp.expand_dims(lax.all_gather(cand, axis_name)[j_seam], axis)
+
         dv_b = jnp.broadcast_to(dvl, rb.shape)
         lv_b = jnp.broadcast_to(lvl, rb.shape)
         l_b = lax.slice_in_dim(lv_b, 0, s - 1, axis=axis)
@@ -243,21 +288,28 @@ def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str):
         x = (y - jnp.expand_dims(a_r, axis) * jnp.broadcast_to(vrl, y.shape)
              - jnp.expand_dims(a_l, axis) * jnp.broadcast_to(vll, y.shape))
         x_seam = y_n - jnp.expand_dims(alpha[two_p - 1], axis) * scl
-        return x, x_seam
 
-    xb, xs = shard_map(
+        # body-even -> ceil: bounded rightward block hops + masked assembly.
+        # A trailing zero row keeps the window >= sw rows for p = 1; rows at
+        # global index n take the replicated seam solution, rows past n (pad)
+        # are zeroed, and pure-pad shards' clamped garbage is fully masked.
+        oblocks = [x]
+        oblocks += [lax.ppermute(x, axis_name, [(j, j - d) for j in range(d, p)])
+                    for d in range(1, dmax_out + 1)]
+        oblocks.append(jnp.zeros_like(lax.slice_in_dim(x, 0, 1, axis=axis)))
+        winx = jnp.concatenate(oblocks, axis=axis)
+        xcb = lax.dynamic_slice_in_dim(winx, (sw - s) * k, sw, axis=axis)
+        gsh = [1] * rl.ndim
+        gsh[axis] = sw
+        gidx = sw * k + jnp.arange(sw, dtype=jnp.int32).reshape(gsh)
+        return jnp.where(gidx == n, jnp.broadcast_to(x_seam, xcb.shape),
+                         jnp.where(gidx > n, jnp.zeros_like(xcb), xcb))
+
+    out_pad = shard_map(
         local, mesh=mesh,
-        in_specs=(spec_cut, spec_rep, spec_cut, spec_cut, spec_cut, spec_cut,
+        in_specs=(spec_cut, spec_cut, spec_cut, spec_cut, spec_cut,
                   spec_rep, spec_rep, spec_minv),
-        out_specs=(spec_cut, spec_rep),
+        out_specs=spec_cut,
         check_vma=False,
-    )(body, seam, dv, lv, vrs, vls, sd, sc, minv)
-    # Residual cost, measured and understood (SHARDING_r05.json): the n+1-face
-    # rhs/solution arrays live in GSPMD's canonical uneven (ceil) sharding,
-    # while the shard_map segmentation is body-even + replicated seam — the
-    # slice in and concat out each reshard ~half a face array per application
-    # (the interface all_gather proper is only ~2p planes).  Eliminating it
-    # means carrying body/seam-split face arrays through the whole sharded
-    # matvec (the context already stores constants that way) — identified as
-    # the next lever, not built this round.
-    return jnp.concatenate([xb, xs], axis=axis)
+    )(rhs_pad, dv, lv, vrs, vls, sd, sc, minv)
+    return lax.slice_in_dim(out_pad, 0, m, axis=axis)

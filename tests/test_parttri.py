@@ -88,46 +88,58 @@ def test_build_declines_on_indivisible_or_thin():
     assert build_partitioned(np.asarray(dinv), np.asarray(l), 1, P_DEV) is None
 
 
-def test_collective_bytes_shrink_vs_scan():
-    """The whole point: the partitioned solve's per-application collective
-    traffic must be far below the partitioned-scan path's."""
+def test_pipeline_depth2_collectives_bounded():
+    """Regression pin for the round-5 reshard fix, measured where it matters:
+    the FULL sharded power iteration's compiled HLO.
+
+    The first parttri implementation did the ceil<->body-even face-layout
+    conversion with jnp-level slice/concat, which GSPMD lowered as a FULL
+    all-gather of the solution array per application (~31 of 38.4 MB/inner at
+    3.5M z8 — SHARDING_r05.json); an isolated-solve harness could NOT see
+    this because a body-aligned device_put hides the reshard.  Pins:
+
+    1. no single depth-2 (per-inner) all-gather moves more than the
+       interface/seam gathers (O(p) planes) — a full-array gather is ~nz/p x
+       bigger and trips the bound;
+    2. the partitioned path's total depth-2 bytes stay well under the
+       associative-scan path's (NEUTFEM_PARTTRI=0) on the same problem.
+    """
+    import os
+
     from benchmarks.ici_accounting import collective_inventory
+    from test_parallel import _problem_3d
+    from neutfem_tpu.parallel import (device_mesh, shard_context, shard_state,
+                                      sharded_power_iteration)
+    from neutfem_tpu.power import SolveOptions
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    if len(jax.devices()) < P_DEV:
+        pytest.skip("needs the 8-device virtual mesh")
 
-    rng = np.random.default_rng(5)
-    m = 16 * P_DEV + 1
-    a, b = _system(rng, (2, 8, 16), m, fax=1)
-    dinv, l = tridiag_factor(jnp.asarray(a), jnp.asarray(b), axis=1)
-    part = build_partitioned(np.asarray(dinv), np.asarray(l), 1, P_DEV)
-    rhs = np.asarray(rng.normal(size=(2, 1, m, 8, 16)))
+    nz, ny, nx = 32, 12, 8
+    fes, ng, ctx, phi0 = _problem_3d(nz=nz, ny=ny, nx=nx)
+    opts = SolveOptions(max_outer=30)
+    dmesh = device_mesh(P_DEV)
 
-    def bytes_of(fn, rhs_sharded):
-        txt = jax.jit(fn).lower(rhs_sharded).compile().as_text()
-        inv = collective_inventory(txt)
-        return sum(c["bytes"] for c in inv)
+    def depth2(ctx_sh):
+        run, _ = sharded_power_iteration(fes, ng, opts, dmesh, grid_axis=0)
+        phi_sh = shard_state(phi0, dmesh, grid_axis=0)
+        txt = run.lower(ctx_sh, phi_sh, 1.0).compile().as_text()
+        return [c for c in collective_inventory(txt) if c["depth"] >= 2]
 
-    with _mesh() as mesh:
-        sh_body = NamedSharding(mesh, P(None, None, "s", None, None))
-        # like-for-like: body-sharded in, body-sharded out (as in the solver,
-        # where up/downstream ops keep the flux sharded along the cut)
-        rhs_b = jax.device_put(jnp.asarray(rhs[:, :, : m - 1]), sh_body)
-        scan_bytes = bytes_of(
-            lambda r: jax.lax.with_sharding_constraint(
-                _global_solve(
-                    r,
-                    jnp.asarray(dinv)[:, : m - 1],
-                    jnp.asarray(l)[:, : m - 2],
-                    2,
-                ), sh_body),
-            rhs_b,
-        )
+    inv_part = depth2(shard_context(ctx, dmesh, fes, grid_axis=0))
+    os.environ["NEUTFEM_PARTTRI"] = "0"
+    try:
+        inv_scan = depth2(shard_context(ctx, dmesh, fes, grid_axis=0))
+    finally:
+        del os.environ["NEUTFEM_PARTTRI"]
 
-        def pfn(r_body):
-            r_full = jnp.concatenate(
-                [r_body, jnp.asarray(rhs[:, :, m - 1:])], axis=2)
-            x = tridiag_solve_partitioned(r_full, part, 2, mesh, "s")
-            return jax.lax.with_sharding_constraint(x[:, :, : m - 1], sh_body)
+    plane = ny * nx * np.dtype(np.asarray(phi0).dtype).itemsize
+    gathers = [c for c in inv_part if c["op"] == "all-gather"]
+    assert gathers, "expected interface/seam all-gathers in the inner loop"
+    # full-array gather would be ~nz*plane = 32 planes; interface/seam are
+    # p or 2p rows of one plane each
+    assert max(c["bytes"] for c in gathers) <= 2 * P_DEV * plane, gathers
 
-        part_bytes = bytes_of(pfn, rhs_b)
-    assert part_bytes < scan_bytes / 5, (part_bytes, scan_bytes)
+    part_bytes = sum(c["bytes"] for c in inv_part)
+    scan_bytes = sum(c["bytes"] for c in inv_scan)
+    assert part_bytes < scan_bytes / 2, (part_bytes, scan_bytes)
