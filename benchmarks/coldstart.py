@@ -122,11 +122,18 @@ def main(argv=None):
     p.add_argument("--json", default=None, help="write rows to this file")
     p.add_argument("--keep-cache", default=None,
                    help="use/keep this cache dir instead of a temp one")
+    p.add_argument("--configs", default=None,
+                   help="comma-separated config labels (+'axisperm' for the "
+                        "probe); default all.  Lets a phase be retried alone "
+                        "after a hung axon compile (sporadic; CLAUDE.md traps)")
     args = p.parse_args(argv)
+    want = args.configs.split(",") if args.configs else None
 
     cache = args.keep_cache or tempfile.mkdtemp(prefix="neutfem_coldcache_")
     rows = []
     for label, name, n, nz, order in CONFIGS:
+        if want is not None and label not in want:
+            continue
         cold = _run_child(cache, name, n, nz, order)
         warm = _run_child(cache, name, n, nz, order)
         row = {
@@ -146,6 +153,11 @@ def main(argv=None):
     # relabel to one internal shape; if orientation B's first solve reads warm,
     # the cache covers user-axis permutations (it keys on the traced internal
     # computation, which is orientation-invariant).
+    if want is not None and "axisperm" not in want:
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(rows, f, indent=1)
+        return rows
     a = _spawn(cache, _CHILD_BOX, [96, 64, 48])
     b = _spawn(cache, _CHILD_BOX, [48, 64, 96])
     row = {
