@@ -265,14 +265,15 @@ def main_full() -> None:
     # Thomas, ops/parttri.py) compile and run under real Mosaic (not only the
     # CPU dryrun's interpret mode) and prices the sharded code path itself.
     # Pre-parttri (associative-scan cut axis): z-cut 6.59 (+27%), y-cut 12.52
-    # (+141%); post-parttri the cut direction gets the Pallas kernel back:
+    # (+141%); post-parttri + the in-shard_map ceil<->even realignment the cut
+    # direction gets the Pallas kernel back and the reshard disappears:
     rows.append({
         "metric": "sharded_1device_mesh_real_tpu",
-        "value": 6.391, "unit": "ms/outer (z-cut)",
+        "value": 6.082, "unit": "ms/outer (z-cut)",
         "detail": {
-            "unsharded_ms_per_outer": 5.318,
-            "zcut_ms_per_outer": 6.391,   # +20% (was +27% on the scan path)
-            "ycut_ms_per_outer": 8.724,   # +64% (was +141%): y partitioned
+            "unsharded_ms_per_outer": 5.100,
+            "zcut_ms_per_outer": 6.082,   # +19% (was +27% on the scan path)
+            "ycut_ms_per_outer": 8.244,   # +62% (was +141%): y partitioned
             "keff_unsharded": 1.0291045, "keff_zcut": 1.0290965,
             "keff_ycut": 1.0291052, "outers": 34, "mesh": "6x6x4",
             "note": "k shift on the z-cut is 0.8 pcm (f32 + partitioned-solve "
