@@ -219,15 +219,21 @@ def solve_A_dir(
     def _line_solve(r, axn):
         if force_scan:
             mesh, axis_map = sh
-            if part is not None and cyc is None and len(axis_map) == 1:
+            if part is not None and cyc is None:
                 # partitioned (substructured) solve: local Pallas Thomas per
                 # shard + one small interface all_gather — replaces the
                 # GSPMD-partitioned scan whose log-stride permutes moved ~8
-                # flux arrays per application (SHARDING_r05.json)
+                # flux arrays per application (SHARDING_r05.json).  On a 2D
+                # device mesh the OTHER cut axis is a pure batch dim whose
+                # mesh-axis name threads through every spec (round 5);
+                # shard_context only attaches `part` when it divides.
                 from .parttri import tridiag_solve_partitioned
 
+                others = {r.ndim - 3 + ga: nm for ga, nm in axis_map.items()
+                          if ga != di.axis}
                 return tridiag_solve_partitioned(r, part, axn, mesh,
-                                                 axis_map[di.axis])
+                                                 axis_map[di.axis],
+                                                 other=others)
             from .tridiag import _scan_solve
 
             n = r.shape[axn]

@@ -165,10 +165,15 @@ def build_partitioned(dinv, l, fax: int, p: int) -> Optional[Dict[str, np.ndarra
     }
 
 
-def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str):
+def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str,
+                              other: Optional[Dict[int, str]] = None):
     """Solve T x = rhs along ``axis`` (n+1 faces) with the partitioned
-    constants from ``build_partitioned``, under a 1D device mesh cutting
-    ``axis``.  rhs may carry leading batch/mode axes; part arrays broadcast.
+    constants from ``build_partitioned``, under a device mesh whose
+    ``axis_name`` axis cuts ``axis``.  rhs may carry leading batch/mode axes;
+    part arrays broadcast.  ``other`` maps additional rhs dims to the mesh
+    axes that shard them (2D device meshes, round 5): those axes are pure
+    batch dims for this solve — every spec places their names so the
+    shard_map neither gathers nor resharding-copies along them.
 
     Layout contract (the round-5 reshard fix): the m = n+1 face array enters
     and leaves in GSPMD's canonical CEIL sharding (sw = ceil(m/p) faces per
@@ -200,7 +205,7 @@ def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str):
     axis = axis % rhs.ndim
     m = rhs.shape[axis]
     n = m - 1
-    p = mesh.devices.size
+    p = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
     s = n // p
     two_p = 2 * p
 
@@ -239,9 +244,22 @@ def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str):
     # minv: (batch..., l1, l2, 2p, 2p) — pad before its last 4 dims
     minv = pad_before(minv, (rhs.ndim + 1) - minv.ndim, 4)
 
-    spec_cut = P(*[axis_name if d == axis else None for d in range(rhs.ndim)])
-    spec_rep = P(*([None] * rhs.ndim))
-    spec_minv = P(*([None] * minv.ndim))
+    other = other or {}
+    names = [other.get(d) for d in range(rhs.ndim)]
+    spec_rep = P(*names)                 # replicated over the CUT axis only
+    names[axis] = axis_name
+    spec_cut = P(*names)
+    # minv line dims (ndim-4, ndim-3) are the rhs spatial dims with the cut
+    # axis removed, in order; place the other-axis names there
+    mnames = [None] * minv.ndim
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    lines = [d for d in range(rhs.ndim - 3, rhs.ndim) if d != axis]
+    for i, d in enumerate(lines):
+        nm = other.get(d)
+        md = minv.ndim - 4 + i
+        if nm is not None and minv.shape[md] % sizes[nm] == 0:
+            mnames[md] = nm
+    spec_minv = P(*mnames)
 
     def local(rl, dvl, lvl, vrl, vll, sdl, scl, mvl):
         k = lax.axis_index(axis_name)

@@ -119,17 +119,19 @@ def shard_context(ctx: Dict, mesh: Mesh, fes: FESpace, grid_axis: GridAxes = 1) 
     cut_axes = {f"d{di.d}": di.axis for di in fes.dirs if di.axis in amap}
 
     ctx = dict(ctx)
-    if (len(amap) == 1
-            and os.environ.get("NEUTFEM_PARTTRI", "1") != "0"):
+    if os.environ.get("NEUTFEM_PARTTRI", "1") != "0":
         # Partitioned cut-axis solve constants (ops/parttri.py): per-segment
         # LDL^T factors, coupling-scaled unit-load solutions and the inverted
-        # interface matrix, so the cut direction's A-solve runs as local
+        # interface matrix, so each cut direction's A-solve runs as local
         # Pallas Thomas + ONE small all_gather instead of the cross-shard
         # associative scan (~20-60x fewer collective bytes per application —
-        # SHARDING_r05.json).  Host-side, once per sharding.
+        # SHARDING_r05.json).  Host-side, once per sharding.  On a 2D device
+        # mesh (round 5) each cut direction partitions over ITS mesh axis;
+        # the other cut axis is a pure batch dim for that solve, so every
+        # other-axis spatial dim must divide its mesh axis (else decline to
+        # the scan path for that direction).
         from .ops.parttri import build_partitioned
 
-        ndev = mesh.devices.size
         for di in fes.dirs:
             if di.axis not in amap:
                 continue
@@ -138,9 +140,14 @@ def shard_context(ctx: Dict, mesh: Mesh, fes: FESpace, grid_axis: GridAxes = 1) 
             lfac = ctx.get(f"tri_l_{key}")
             if dinv is None or lfac is None or f"cyc_wt_{key}" in ctx:
                 continue
-            fax = np.ndim(dinv) - 3 + di.axis
+            shp = np.shape(dinv)
+            base = len(shp) - 3
+            if any(shp[base + ga] % sizes[nm]
+                   for ga, nm in amap.items() if ga != di.axis):
+                continue
+            fax = base + di.axis
             bundle = build_partitioned(np.asarray(dinv), np.asarray(lfac),
-                                       fax, ndev)
+                                       fax, sizes[amap[di.axis]])
             if bundle is not None:
                 for nm2, arr in bundle.items():
                     ctx[f"tri_part_{nm2}_{key}"] = arr
@@ -152,9 +159,22 @@ def shard_context(ctx: Dict, mesh: Mesh, fes: FESpace, grid_axis: GridAxes = 1) 
         if k.startswith(_XT_PREFIXES):
             continue  # single-device-only fused-x operands
         if k.startswith("tri_part_minv_"):
-            # interface-matrix inverse: trailing dims are (2p, 2p), NOT
-            # spatial — _spec_for would mis-shard them; replicate (small)
-            out[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, P()))
+            # interface-matrix inverse: trailing dims are (l1, l2, 2p, 2p) —
+            # the two LINE dims (spatial minus the cut axis, in order) then
+            # the interface block; _spec_for would mis-shard.  Replicated over
+            # the cut axis; on a 2D mesh the other cut axis shards its line
+            # dim (must mirror spec_minv in ops/parttri.py exactly).
+            dk = k.rsplit("_", 1)[-1]
+            ga_cut = cut_axes[dk]
+            mn = [None] * len(np.shape(v))
+            lines = [g for g in (0, 1, 2) if g != ga_cut]
+            for i, g in enumerate(lines):
+                nm2 = amap.get(g)
+                md = len(mn) - 4 + i
+                if nm2 is not None and np.shape(v)[md] % sizes[nm2] == 0:
+                    mn[md] = nm2
+            out[k] = jax.device_put(jnp.asarray(v),
+                                    NamedSharding(mesh, P(*mn)))
             continue
         dkey = k.rsplit("_", 1)[-1]
         shape = np.shape(v)

@@ -78,6 +78,45 @@ def test_partitioned_group_batched_layout():
                                rtol=5e-11, atol=5e-11)
 
 
+def test_partitioned_p1_degenerate_mesh():
+    """p = 1 (the real-chip 1-device-mesh A/B path): a single segment, the
+    output window padded by the trailing zero row — must still be exact."""
+    rng = np.random.default_rng(11)
+    m = 13                               # n = 12 cells, one segment
+    a, b = _system(rng, (2, 4, 8), m, fax=1)
+    dinv, l = tridiag_factor(jnp.asarray(a), jnp.asarray(b), axis=1)
+    part = build_partitioned(np.asarray(dinv), np.asarray(l), 1, 1)
+    assert part is not None
+    rhs = jnp.asarray(rng.normal(size=(2, 1, m, 4, 8)))
+    x_ref = _global_solve(rhs, dinv, l, axis=2)
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("s",))
+    with mesh1:
+        x = tridiag_solve_partitioned(rhs, part, 2, mesh1, "s")
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               rtol=5e-11, atol=5e-11)
+
+
+def test_partitioned_2d_device_mesh():
+    """2D device mesh (round 5): the cut axis partitions over ITS mesh axis
+    while the other mesh axis shards a line dim as a pure batch — every spec
+    (rhs/constants/seam/minv line dims) must carry the other axis name."""
+    rng = np.random.default_rng(17)
+    pz, py = 2, 4
+    m = 3 * pz + 1                       # n = 6, s = 3 along the cut
+    a, b = _system(rng, (2, 8, 16), m, fax=1)   # (ng, m, ly=8, lx=16); ly % py == 0
+    dinv, l = tridiag_factor(jnp.asarray(a), jnp.asarray(b), axis=1)
+    part = build_partitioned(np.asarray(dinv), np.asarray(l), 1, pz)
+    assert part is not None
+    rhs = jnp.asarray(rng.normal(size=(2, 1, m, 8, 16)))
+    x_ref = _global_solve(rhs, dinv, l, axis=2)
+    mesh2 = Mesh(np.array(jax.devices()[:pz * py]).reshape(pz, py), ("s", "t"))
+    with mesh2:
+        x = tridiag_solve_partitioned(rhs, part, 2, mesh2, "s",
+                                      other={3: "t"})
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               rtol=5e-11, atol=5e-11)
+
+
 def test_build_declines_on_indivisible_or_thin():
     rng = np.random.default_rng(1)
     a, b = _system(rng, (1, 4, 4), 14, fax=1)   # body 13 % 8 != 0
