@@ -27,8 +27,10 @@ Face grids have n+1 entries for n cells: the body (faces 0..n-1, evenly
 sharded) carries p segments and the replicated seam face n is treated as a
 (p+1)-th segment of size 1, so the interface count is p and M is 2p x 2p.
 
-Scope: a_mode="exact", non-PERIODIC directions, 1D device meshes (a 2D mesh
-falls back to the scan path as before).  Pinned (MIRROR/Dirichlet-masked)
+Scope: a_mode="exact", non-PERIODIC directions; on a 2D device mesh each cut
+direction partitions over ITS mesh axis (the other cut axis threads through
+every spec as a pure batch dim) — the scan path remains the fallback only for
+directions whose axis does not divide.  Pinned (MIRROR/Dirichlet-masked)
 faces need no special casing: the context factors them with diag 1 / coupling
 0, so reconstruction of (a, b) from the global (dinv, l) is exact and a pinned
 shard boundary simply yields an inert interface row in M.
@@ -195,7 +197,6 @@ def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str,
     boundary-aligned with the ceil sharding (identical shard windows), so
     GSPMD lowers them collective-free.
     """
-    import jax
     import jax.numpy as jnp
     from jax import lax, shard_map
     from jax.sharding import PartitionSpec as P
