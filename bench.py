@@ -269,13 +269,13 @@ def main_full() -> None:
     # direction gets the Pallas kernel back and the reshard disappears:
     rows.append({
         "metric": "sharded_1device_mesh_real_tpu",
-        "value": 6.082, "unit": "ms/outer (z-cut)",
+        "value": 6.135, "unit": "ms/outer (z-cut)",
         "detail": {
-            "unsharded_ms_per_outer": 5.100,
-            "zcut_ms_per_outer": 6.082,   # +19% (was +27% on the scan path)
-            "ycut_ms_per_outer": 8.244,   # +62% (was +141%): y partitioned
+            "unsharded_ms_per_outer": 5.118,
+            "zcut_ms_per_outer": 6.135,   # +20% (was +27% on the scan path)
+            "ycut_ms_per_outer": 7.321,   # +43% (was +141%): fused part. dir
             "keff_unsharded": 1.0291045, "keff_zcut": 1.0290965,
-            "keff_ycut": 1.0291052, "outers": 34, "mesh": "6x6x4",
+            "keff_ycut": 1.0291042, "outers": 34, "mesh": "6x6x4",
             "note": "k shift on the z-cut is 0.8 pcm (f32 + partitioned-solve "
                     "reduction-order change), within tol_keff=1e-5; residual "
                     "overhead = uneven(ceil)-vs-even face resharding at the "

@@ -46,9 +46,57 @@ from typing import Dict, Optional
 
 import numpy as np
 
-__all__ = ["build_partitioned", "tridiag_solve_partitioned", "PART_NAMES"]
+__all__ = ["build_partitioned", "tridiag_solve_partitioned",
+           "partitioned_schur_dir", "PART_NAMES"]
 
 PART_NAMES = ("dinv", "l", "vrs", "vls", "minv", "seamd", "seamc")
+
+
+def _segments_solve(rb, rs, dvl, lvl, vrl, vll, sdl, scl, mvl,
+                    axis, axis_name, p, s):
+    """Shard-local core of the partition method (called INSIDE a shard_map).
+
+    rb: this shard's body segment rhs (s faces along ``axis``); rs: the
+    replicated seam face rhs; constants are the shard-local blocks from
+    ``build_partitioned``.  Returns (x_body_local, x_seam_replicated).
+    Communication: two all_gathers of one plane per device (the segment
+    first/last solutions feeding the 2p x 2p interface solve, computed
+    redundantly everywhere)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .tridiag import _local_solve
+
+    k = lax.axis_index(axis_name)
+    dv_b = jnp.broadcast_to(dvl, rb.shape)
+    lv_b = jnp.broadcast_to(lvl, rb.shape)
+    l_b = lax.slice_in_dim(lv_b, 0, s - 1, axis=axis)
+    y = _local_solve(rb, dv_b, l_b, axis)
+    y_n = rs * sdl                                   # replicated seam solve
+
+    yf = lax.index_in_dim(y, 0, axis=axis, keepdims=False)
+    yl = lax.index_in_dim(y, s - 1, axis=axis, keepdims=False)
+    g_f = lax.all_gather(yf, axis_name)              # (p, ...)
+    g_l = lax.all_gather(yl, axis_name)
+    y_n_sq = lax.index_in_dim(y_n, 0, axis=axis, keepdims=False)
+
+    rows = []
+    for i in range(p):
+        rows.append(g_f[i + 1] if i < p - 1 else y_n_sq)   # V^T y row 2i
+        rows.append(g_l[i])                                # row 2i+1
+    vty = jnp.stack(rows, axis=0)                    # (2p, ..., ly, lx)
+
+    # alpha_j = sum_i minv[..., j, i] * vty_i ; minv line dims are the
+    # trailing spatial dims of the axis-removed arrays
+    alpha = jnp.einsum("...ji,i...->j...", mvl, vty)
+
+    a_r = lax.dynamic_index_in_dim(alpha, 2 * k, 0, keepdims=False)
+    a_l = lax.dynamic_index_in_dim(alpha, jnp.maximum(2 * k - 1, 0), 0,
+                                   keepdims=False)
+    x = (y - jnp.expand_dims(a_r, axis) * jnp.broadcast_to(vrl, y.shape)
+         - jnp.expand_dims(a_l, axis) * jnp.broadcast_to(vll, y.shape))
+    x_seam = y_n - jnp.expand_dims(alpha[2 * p - 1], axis) * scl
+    return x, x_seam
 
 
 def _ldlt_np(a: np.ndarray, b: np.ndarray):
@@ -201,14 +249,11 @@ def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str,
     from jax import lax, shard_map
     from jax.sharding import PartitionSpec as P
 
-    from .tridiag import _local_solve
-
     axis = axis % rhs.ndim
     m = rhs.shape[axis]
     n = m - 1
     p = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
     s = n // p
-    two_p = 2 * p
 
     sw = -(-m // p)                      # ceil faces/shard (= s + 1: m = p*s+1)
     m_pad = p * sw
@@ -279,34 +324,8 @@ def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str,
         cand = lax.index_in_dim(rl, loc_seam, axis=axis, keepdims=False)
         rs = jnp.expand_dims(lax.all_gather(cand, axis_name)[j_seam], axis)
 
-        dv_b = jnp.broadcast_to(dvl, rb.shape)
-        lv_b = jnp.broadcast_to(lvl, rb.shape)
-        l_b = lax.slice_in_dim(lv_b, 0, s - 1, axis=axis)
-        y = _local_solve(rb, dv_b, l_b, axis)
-        y_n = rs * sdl                                   # replicated seam solve
-
-        yf = lax.index_in_dim(y, 0, axis=axis, keepdims=False)
-        yl = lax.index_in_dim(y, s - 1, axis=axis, keepdims=False)
-        g_f = lax.all_gather(yf, axis_name)              # (p, ...)
-        g_l = lax.all_gather(yl, axis_name)
-        y_n_sq = lax.index_in_dim(y_n, 0, axis=axis, keepdims=False)
-
-        rows = []
-        for i in range(p):
-            rows.append(g_f[i + 1] if i < p - 1 else y_n_sq)   # V^T y row 2i
-            rows.append(g_l[i])                                # row 2i+1
-        vty = jnp.stack(rows, axis=0)                    # (2p, ..., ly, lx)
-
-        # alpha_j = sum_i minv[..., j, i] * vty_i ; minv line dims are the
-        # trailing spatial dims of the axis-removed arrays
-        alpha = jnp.einsum("...ji,i...->j...", mvl, vty)
-
-        a_r = lax.dynamic_index_in_dim(alpha, 2 * k, 0, keepdims=False)
-        a_l = lax.dynamic_index_in_dim(alpha, jnp.maximum(2 * k - 1, 0), 0,
-                                       keepdims=False)
-        x = (y - jnp.expand_dims(a_r, axis) * jnp.broadcast_to(vrl, y.shape)
-             - jnp.expand_dims(a_l, axis) * jnp.broadcast_to(vll, y.shape))
-        x_seam = y_n - jnp.expand_dims(alpha[two_p - 1], axis) * scl
+        x, x_seam = _segments_solve(rb, rs, dvl, lvl, vrl, vll, sdl, scl,
+                                    mvl, axis, axis_name, p, s)
 
         # body-even -> ceil: bounded rightward block hops + masked assembly.
         # A trailing zero row keeps the window >= sw rows for p = 1; rows at
@@ -332,3 +351,134 @@ def tridiag_solve_partitioned(rhs, part: Dict, axis: int, mesh, axis_name: str,
         check_vma=False,
     )(rhs_pad, dv, lv, vrs, vls, sd, sc, minv)
     return lax.slice_in_dim(out_pad, 0, m, axis=axis)
+
+
+def partitioned_schur_dir(fes, di, v, ctx, key: str, mesh, axis_map, BXt):
+    """Whole cut-direction Schur contribution B_d A_d^{-1} B_d^T v in ONE
+    shard_map (round 5c) — face arrays NEVER materialize at the jnp level.
+
+    The second round-5 ICI accounting showed the remaining z4y2 depth-2
+    all-gathers come from the face-rhs BUILD (slice/concat of cell slices to
+    an m = n+1 face array) and the divergence consume (face +/-1 shifts) —
+    every uneven concat along a cut axis is a GSPMD reshard, independent of
+    the solve.  Fusing build -> partitioned solve -> divergence per shard
+    removes them all: per application the only communication is
+      * 1 plane leftward (c1 halo for the segment's first face),
+      * 1 plane rightward (next segment's first solution for the divergence),
+      * the interface/seam gathers of `_segments_solve` (O(p) planes).
+
+    Semantics pinned to the unfused chain (`_face_rhs` -> masked, m_t-scaled
+    `solve_A_dir` -> mask -> `_face_out`); exactness is asserted against it in
+    tests/test_parttri.py and end-to-end in tests/test_parallel.py.  BXt is a
+    host-side (2+, P, T) pairing tensor (BXc for the condensed chain, BX[:2]
+    for RT0).  Returns the flux-shaped contribution, or None to decline (no
+    bundle / no split mask / indivisible axis).
+    """
+    import jax.numpy as jnp
+    from jax import lax, shard_map
+    from jax.sharding import PartitionSpec as P
+
+    part = {nm: ctx.get(f"tri_part_{nm}_{key}") for nm in PART_NAMES}
+    if any(val is None for val in part.values()):
+        return None
+    mb = ctx.get(f"mask_{key}")
+    ms = ctx.get(f"mask_{key}__seam")
+    if ms is None:
+        return None
+
+    ga = di.axis
+    rank = v.ndim
+    axis = rank - 3 + ga
+    axis_name = axis_map[ga]
+    other = {rank - 3 + g: nm for g, nm in axis_map.items() if g != ga}
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    p = sizes[axis_name]
+    n = v.shape[axis]
+    if n % p or n // p < 2:
+        return None
+    s = n // p
+
+    BXt = np.asarray(BXt)                        # host constant (closure)
+    scalar_pair = BXt.shape[1] == 1 and BXt.shape[2] == 1
+    m_t = np.asarray(di.m_t).reshape(-1, 1, 1, 1)
+
+    def pad_before(x, keep_last):
+        sh_ = x.shape
+        extra = rank - x.ndim
+        return x.reshape(sh_[: len(sh_) - keep_last] + (1,) * extra
+                         + sh_[len(sh_) - keep_last:])
+
+    dv = pad_before(jnp.asarray(part["dinv"], v.dtype), 3)
+    lv = pad_before(jnp.asarray(part["l"], v.dtype), 3)
+    vrs = pad_before(jnp.asarray(part["vrs"], v.dtype), 3)
+    vls = pad_before(jnp.asarray(part["vls"], v.dtype), 3)
+    sd = pad_before(jnp.asarray(part["seamd"], v.dtype), 3)
+    sc = pad_before(jnp.asarray(part["seamc"], v.dtype), 3)
+    minv = jnp.asarray(part["minv"], v.dtype)
+    minv = minv.reshape((1,) * (rank + 1 - minv.ndim) + minv.shape)
+    mb_a = pad_before(jnp.asarray(mb, v.dtype), 3)
+    ms_a = pad_before(jnp.asarray(ms, v.dtype), 3)
+
+    names = [other.get(d) for d in range(rank)]
+    spec_rep = P(*names)
+    names_cut = list(names)
+    names_cut[axis] = axis_name
+    spec_cut = P(*names_cut)
+    mnames = [None] * minv.ndim
+    lines = [d for d in range(rank - 3, rank) if d != axis]
+    for i, d in enumerate(lines):
+        nm = other.get(d)
+        md = minv.ndim - 4 + i
+        if nm is not None and minv.shape[md] % sizes[nm] == 0:
+            mnames[md] = nm
+    spec_minv = P(*mnames)
+
+    def local(vl, mbl, msl, dvl, lvl, vrl, vll, sdl, scl, mvl):
+        w = jnp.asarray(BXt, vl.dtype)
+        mt = jnp.asarray(m_t, vl.dtype)
+        if scalar_pair:
+            c0 = vl * w[0, 0, 0]
+            c1 = vl * w[1, 0, 0]
+        else:
+            c0 = jnp.einsum("...pzyx,pt->...tzyx", vl, w[0])
+            c1 = jnp.einsum("...pzyx,pt->...tzyx", vl, w[1])
+        # face rhs for this segment: rb[j] = c0[j] + c1[j-1]; j = 0 takes the
+        # left neighbor's last cell plane (zero-filled on shard 0 = the global
+        # first face, which has no c1 term)
+        prev = lax.ppermute(lax.slice_in_dim(c1, s - 1, s, axis=axis),
+                            axis_name, [(j, j + 1) for j in range(p - 1)])
+        c1sh = jnp.concatenate(
+            [prev, lax.slice_in_dim(c1, 0, s - 1, axis=axis)], axis=axis)
+        rb = c0 + c1sh
+        # seam face rhs (global face n = c1 cell n-1): replicated
+        rs = jnp.expand_dims(
+            lax.all_gather(lax.index_in_dim(c1, s - 1, axis=axis,
+                                            keepdims=False),
+                           axis_name)[p - 1], axis)
+        rb = rb * mbl / mt
+        rs = rs * msl / mt
+        x, x_seam = _segments_solve(rb, rs, dvl, lvl, vrl, vll, sdl, scl,
+                                    mvl, axis, axis_name, p, s)
+        x = x * mbl
+        x_seam = x_seam * msl
+        # divergence: out[i] = F_L[i] pair w0 + F_R[i] pair w1 with
+        # F_R[j] = x[j+1]; the segment's last cell takes the next segment's
+        # first solution plane (or the seam on the last shard)
+        k = lax.axis_index(axis_name)
+        nxt = lax.ppermute(lax.slice_in_dim(x, 0, 1, axis=axis),
+                           axis_name, [(j, j - 1) for j in range(1, p)])
+        xnext = jnp.where(k == p - 1, x_seam, nxt)
+        F_R = jnp.concatenate(
+            [lax.slice_in_dim(x, 1, s, axis=axis), xnext], axis=axis)
+        if scalar_pair:
+            return x * w[0, 0, 0] + F_R * w[1, 0, 0]
+        return (jnp.einsum("...tzyx,pt->...pzyx", x, w[0])
+                + jnp.einsum("...tzyx,pt->...pzyx", F_R, w[1]))
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_cut, spec_cut, spec_rep, spec_cut, spec_cut, spec_cut,
+                  spec_cut, spec_rep, spec_rep, spec_minv),
+        out_specs=spec_cut,
+        check_vma=False,
+    )(v, mb_a, ms_a, dv, lv, vrs, vls, sd, sc, minv)
